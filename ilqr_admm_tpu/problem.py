@@ -1,0 +1,196 @@
+"""Problem and solver-state pytrees.
+
+Everything the solvers consume is a pytree of arrays plus static config
+dataclasses, so every solver is jit-able, vmap-able over problem
+instances, and shard_map-able over a device mesh.
+
+Reference parity: these structures replace the mutable attributes of the
+reference's `Base`/`SLSBase`/`iSLSBase` classes (`base.py:11-29`,
+`sls_base.py:10-23`, `isls_base.py:5-24`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def pytree_dataclass(cls):
+    """Register a dataclass as a JAX pytree (all fields are leaves)."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+def static_dataclass(cls):
+    """A frozen, hashable dataclass used as a static (compile-time) config."""
+    return dataclasses.dataclass(frozen=True)(cls)
+
+
+# --------------------------------------------------------------------------
+# Cost / dynamics specs
+# --------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class QuadCost:
+    """Per-timestep quadratic tracking cost.
+
+    cost(x, u) = sum_t (x_t - xd_t)^T Q_t (x_t - xd_t) + u_t^T R_t u_t
+
+    (no 1/2 factor — matches the reference convention, `sls_base.py:25-44`).
+
+    Q:  (N, x_dim, x_dim)
+    xd: (N, x_dim)
+    R:  (N, u_dim, u_dim)
+    """
+
+    Q: jax.Array
+    xd: jax.Array
+    R: jax.Array
+
+    @property
+    def N(self) -> int:
+        return self.Q.shape[0]
+
+    @property
+    def x_dim(self) -> int:
+        return self.Q.shape[-1]
+
+    @property
+    def u_dim(self) -> int:
+        return self.R.shape[-1]
+
+    def __call__(self, xs: jax.Array, us: jax.Array) -> jax.Array:
+        """Evaluate the cost of (possibly batched) trajectories.
+
+        xs: (..., N, x_dim); us: (..., N, u_dim). Returns (...,).
+        """
+        dx = xs - self.xd
+        cx = jnp.einsum("...ti,tij,...tj->...", dx, self.Q, dx)
+        cu = jnp.einsum("...ti,tij,...tj->...", us, self.R, us)
+        return cx + cu
+
+    def lifted_Q(self) -> jax.Array:
+        """Dense (N*x, N*x) block-diagonal lifted Q (for batch/SLS paths)."""
+        N, d = self.Q.shape[0], self.Q.shape[-1]
+        out = jnp.zeros((N * d, N * d), self.Q.dtype)
+        idx = jnp.arange(N)
+        return out.at[
+            idx[:, None, None] * d + jnp.arange(d)[None, :, None],
+            idx[:, None, None] * d + jnp.arange(d)[None, None, :],
+        ].set(self.Q)
+
+    def lifted_R(self) -> jax.Array:
+        N, m = self.R.shape[0], self.R.shape[-1]
+        out = jnp.zeros((N * m, N * m), self.R.dtype)
+        idx = jnp.arange(N)
+        return out.at[
+            idx[:, None, None] * m + jnp.arange(m)[None, :, None],
+            idx[:, None, None] * m + jnp.arange(m)[None, None, :],
+        ].set(self.R)
+
+    def lifted_xd(self) -> jax.Array:
+        return self.xd.reshape(-1)
+
+
+@pytree_dataclass
+class LQTProblem:
+    """Linear(ized) quadratic tracking problem.
+
+    A: (N, x_dim, x_dim) — x_{t+1} = A_t x_t + B_t u_t
+    B: (N, x_dim, u_dim)
+    cost: QuadCost
+    """
+
+    A: jax.Array
+    B: jax.Array
+    cost: QuadCost
+
+    @property
+    def N(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def x_dim(self) -> int:
+        return self.A.shape[-1]
+
+    @property
+    def u_dim(self) -> int:
+        return self.B.shape[-1]
+
+
+def broadcast_AB(A: jax.Array, B: jax.Array, N: int):
+    """Accept (x,x)/(N,x,x) A and (x,u)/(N,x,u) B, return (N, ., .) arrays.
+
+    Mirrors the reference's acceptance of 2-D or 3-D A/B (`base.py:104-106`).
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    if A.ndim == 2:
+        A = jnp.broadcast_to(A, (N,) + A.shape)
+    if B.ndim == 2:
+        B = jnp.broadcast_to(B, (N,) + B.shape)
+    return A, B
+
+
+# --------------------------------------------------------------------------
+# Static solver configs (hashable → usable as jit static args)
+# --------------------------------------------------------------------------
+
+
+@static_dataclass
+class ADMMConfig:
+    """Config for the generic two-block scaled ADMM driver.
+
+    Mirrors the reference tunables (`admm.py:6-8`): max_iter, relaxation
+    alpha, absolute tolerance, and the relative-stall tolerance used for
+    the "can't improve anymore" stop (`admm.py:78-85`).
+    """
+
+    max_iter: int = 20
+    alpha: float = 1.0
+    tol: float = 1e-3
+    stall_tol: Optional[float] = None  # defaults to tol when None
+    log: bool = False
+
+    @property
+    def stall(self) -> float:
+        return self.tol if self.stall_tol is None else self.stall_tol
+
+
+@static_dataclass
+class ILQRConfig:
+    """Config for the iLQR outer loop (reference `isls.py:54-55`)."""
+
+    max_iter: int = 100
+    max_line_search_iter: int = 50
+    tol_fun: float = 1e-5
+    tol_grad: float = 1e-4
+    # line-search grid alphas = 10^linspace(0, alpha_min_exp, n) — reference
+    # `isls_base.py:10-11` uses 10^linspace(0, -5, 50).
+    alpha_min_exp: float = -5.0
+
+
+class SolveStatus(enum.IntEnum):
+    """Structured solver statuses (replaces reference print-based stops,
+
+    `admm.py:72-97`, `isls.py:125-132`)."""
+
+    RUNNING = 0
+    CONVERGED = 1
+    STALLED = 2
+    MAX_ITER = 3
+    LINE_SEARCH_FAILED = 4
+    OSCILLATING = 5
+
+
+def line_search_alphas(cfg: ILQRConfig, dtype=jnp.float32) -> jax.Array:
+    """The parallel line-search step grid (reference `isls_base.py:10-11`)."""
+    n = cfg.max_line_search_iter
+    return 10.0 ** jnp.linspace(0.0, cfg.alpha_min_exp, 50, dtype=dtype)[:n]

@@ -1,0 +1,186 @@
+"""Intersection and affine-preimage projections (inner ADMM / Dykstra).
+
+TPU-native equivalents of the reference's composite projections:
+- `project_soc`              ⇔ `projections.py:163-234` — projection onto
+  {z : Az + b ∈ SOC} by a bounded-iteration scaled ADMM.
+- `project_set_convex`       ⇔ `projections.py:289-374` — consensus ADMM
+  over a list of (A_i, b_i, P_i) constraint blocks with a prefactored
+  (I + rho Σ A_i^T A_i)^{-1}.
+- `project_set_convex_dykstra` ⇔ `projections.py:465-505` — Dykstra's
+  alternating projection algorithm.
+
+All three run as `lax.while_loop`s with a hard iteration cap and
+residual / stall stopping, so they are safe inside an outer jitted ADMM
+(the reference nests these inside its z-updates, `admm.py:49`).
+Row-major batching: inputs are (..., dim) with independent leading axes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ilqr_admm_tpu.projections.primitives import project_soc_unit
+
+_EPS = 1e-30
+
+
+def project_soc(z0, A, b, rho: float = 1.0, max_iter: int = 100, tol: float = 1e-5):
+    """Project z0 onto {z : A z + b in SOC} via scaled ADMM.
+
+    z0: (..., dim); A: (m, dim); b: (m,). Returns the same shape as z0.
+    """
+    z0 = jnp.asarray(z0)
+    single = z0.ndim == 1
+    z0b = z0[None] if single else z0
+
+    dim = z0b.shape[-1]
+    l_side = jnp.eye(dim, dtype=z0b.dtype) + rho * A.T @ A
+    l_inv = jnp.linalg.inv(l_side)
+
+    def Az_b(z):
+        return z @ A.T + b
+
+    z_init = z0b
+    lmb_init = jnp.zeros(z0b.shape[:-1] + (A.shape[0],), z0b.dtype)
+
+    def cond(state):
+        j, z, lmb, prim, dual, prev_prim, prev_dual = state
+        converged = jnp.logical_and(prim < tol, dual < tol)
+        stalled = jnp.logical_and(
+            jnp.abs(prev_prim - prim) / (prev_prim + _EPS) < 1e-5,
+            jnp.abs(prev_dual - dual) / (prev_dual + _EPS) < 1e-5,
+        )
+        return jnp.logical_and(j < max_iter, jnp.logical_not(jnp.logical_or(converged, stalled)))
+
+    def body(state):
+        j, z, lmb, prim, dual, _, _ = state
+        x = project_soc_unit(Az_b(z) + lmb)
+        z_new = (z0b + rho * (x - b - lmb) @ A) @ l_inv.T
+        r = Az_b(z_new) - x
+        lmb_new = lmb + r
+        prim_new = jnp.max(jnp.linalg.norm(r, axis=-1))
+        dual_new = jnp.max(rho * jnp.linalg.norm(z_new - z, axis=-1))
+        return j + 1, z_new, lmb_new, prim_new, dual_new, prim, dual
+
+    big = jnp.asarray(1e5, z0b.dtype)
+    state = (jnp.int32(0), z_init, lmb_init, big, big, big, big)
+    _, z, *_ = lax.while_loop(cond, body, state)
+    return z[0] if single else z
+
+
+def project_set_convex(
+    x0,
+    As: Sequence[jax.Array] = (),
+    bs: Sequence[jax.Array] = (),
+    projections: Sequence[Callable] = (),
+    rho: float = 1.0,
+    max_iter: int = 200,
+    threshold: float = 1e-4,
+    stall_tol: float = 1e-5,
+    verbose: bool = False,  # accepted for API parity; logging is host-side
+):
+    """Consensus-ADMM projection onto the intersection of constraint sets.
+
+    Finds the point closest to x0 with A_i x + b_i in set_i for every i,
+    where set_i is implied by projection P_i. x0: (..., dim).
+    """
+    del verbose
+    x0 = jnp.asarray(x0)
+    single = x0.ndim == 1
+    x0b = x0[None] if single else x0
+    nb = len(projections)
+    dim = x0b.shape[-1]
+
+    As = [jnp.asarray(A, x0b.dtype) for A in As]
+    bs = [jnp.asarray(b, x0b.dtype) for b in bs]
+
+    l_side = jnp.eye(dim, dtype=x0b.dtype)
+    for A in As:
+        l_side = l_side + rho * (A.T @ A)
+    l_inv = jnp.linalg.inv(l_side)
+
+    z_init = tuple(x0b @ As[i].T + bs[i] for i in range(nb))
+    lmb_init = tuple(jnp.zeros_like(z) for z in z_init)
+
+    def cond(state):
+        j, x, zs, lmbs, prim, dual, prev_prim, prev_dual = state
+        converged = jnp.logical_and(prim < threshold, dual < threshold)
+        stalled = jnp.logical_and(
+            jnp.abs(prev_prim - prim) / (prev_prim + _EPS) < stall_tol,
+            jnp.abs(prev_dual - dual) / (prev_dual + _EPS) < stall_tol,
+        )
+        return jnp.logical_and(j < max_iter, jnp.logical_not(jnp.logical_or(converged, stalled)))
+
+    def body(state):
+        j, x, zs, lmbs, prim, dual, _, _ = state
+        r_side = jnp.zeros_like(x0b)
+        for i in range(nb):
+            r_side = r_side + (zs[i] - bs[i] - lmbs[i]) @ As[i]
+        x_new = (x0b + rho * r_side) @ l_inv.T
+
+        zs_new, lmbs_new = [], []
+        prim_terms, dual_terms = [], []
+        for i in range(nb):
+            Ax_b = x_new @ As[i].T + bs[i]
+            z_new = projections[i](Ax_b + lmbs[i])
+            r = Ax_b - z_new
+            lmbs_new.append(lmbs[i] + r)
+            prim_terms.append(jnp.max(jnp.linalg.norm(r, axis=-1)))
+            dual_terms.append(
+                jnp.max(rho * jnp.linalg.norm((z_new - zs[i]) @ As[i], axis=-1))
+            )
+            zs_new.append(z_new)
+        prim_new = jnp.max(jnp.stack(prim_terms))
+        dual_new = jnp.max(jnp.stack(dual_terms))
+        return j + 1, x_new, tuple(zs_new), tuple(lmbs_new), prim_new, dual_new, prim, dual
+
+    big = jnp.asarray(1e5, x0b.dtype)
+    state = (jnp.int32(0), x0b, z_init, lmb_init, big, big, big, big)
+    _, x, *_ = lax.while_loop(cond, body, state)
+    return x[0] if single else x
+
+
+def project_set_convex_dykstra(
+    x0,
+    projections: Sequence[Callable] = (),
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    verbose: bool = False,
+):
+    """Dykstra's alternating projection onto an intersection of convex sets.
+
+    Unlike plain alternating projection, Dykstra converges to the true
+    Euclidean projection. x0: (..., dim).
+    """
+    del verbose
+    x0 = jnp.asarray(x0)
+    single = x0.ndim == 1
+    u0 = x0[None] if single else x0
+    nb = len(projections)
+
+    z_init = tuple(jnp.zeros_like(u0) for _ in range(nb))
+
+    def cond(state):
+        k, u, zs, cI = state
+        return jnp.logical_and(k <= max_iter, jnp.any(cI >= tol))
+
+    def body(state):
+        k, u, zs, _ = state
+        cI = jnp.zeros(u.shape[:-1], u.dtype)
+        zs_new = list(zs)
+        for i in range(nb):
+            prev_u = u
+            u = projections[i](prev_u - zs_new[i])
+            prev_z = zs_new[i]
+            zs_new[i] = u - (prev_u - prev_z)
+            cI = cI + jnp.sum((prev_z - zs_new[i]) ** 2, axis=-1)
+        return k + 1, u, tuple(zs_new), cI
+
+    cI0 = jnp.full(u0.shape[:-1], 10.0, u0.dtype)
+    state = (jnp.int32(0), u0, z_init, cI0)
+    _, u, *_ = lax.while_loop(cond, body, state)
+    return u[0] if single else u

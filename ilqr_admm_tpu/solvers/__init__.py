@@ -1,0 +1,41 @@
+from ilqr_admm_tpu.solvers.lqt import (
+    lqt_solve_batch,
+    lqt_solve_dp,
+    lqt_solve_sls,
+    sls_controller,
+    lifted_normal_eqs,
+    broadcast_rho,
+)
+from ilqr_admm_tpu.solvers.admm import admm_solve, ADMMInfo
+from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_batch, lqt_admm_dp
+from ilqr_admm_tpu.solvers.sls_admm import sls_admm
+from ilqr_admm_tpu.solvers.ilqr import (
+    ILQRState,
+    ilqr_init,
+    ilqr_iterate_dp,
+    ilqr_iterate_batch,
+    ilqr_solve,
+)
+from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
+from ilqr_admm_tpu.solvers.isls_admm import isls_admm
+
+__all__ = [
+    "lqt_solve_batch",
+    "lqt_solve_dp",
+    "lqt_solve_sls",
+    "sls_controller",
+    "lifted_normal_eqs",
+    "broadcast_rho",
+    "admm_solve",
+    "ADMMInfo",
+    "lqt_admm_batch",
+    "lqt_admm_dp",
+    "sls_admm",
+    "ILQRState",
+    "ilqr_init",
+    "ilqr_iterate_dp",
+    "ilqr_iterate_batch",
+    "ilqr_solve",
+    "ilqr_admm",
+    "isls_admm",
+]

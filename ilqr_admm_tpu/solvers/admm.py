@@ -1,0 +1,154 @@
+"""Generic two-block scaled ADMM driver as a bounded `lax.while_loop`.
+
+Functional equivalent of the reference `ADMM()` (`admm.py:6-106`):
+x-update from a caller-supplied `f_argmin` closure, z-update from
+projection operators with over-relaxation, scaled dual update
+λ += (x - z), and the reference's two stopping rules — absolute
+primal/dual residual tolerance and relative-stall detection
+(`admm.py:72-85`) — plus a hard iteration cap.
+
+Differences from the reference (all jit/vmap motivated):
+- fixed-shape residual logs (max_iter, 2) instead of a Python list;
+- structured `ADMMInfo` status instead of prints;
+- optional residual *weights* so the weighted-residual variants used by
+  `ADMM_SLS` / `isls_admm` (`sls.py:411-418`, `isls.py:653-660`) are the
+  same driver instead of inlined copies.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ilqr_admm_tpu.problem import ADMMConfig, SolveStatus
+
+_EPS = 1e-30
+
+
+class ADMMInfo(NamedTuple):
+    iters: jax.Array  # int — iterations executed
+    prim_res: jax.Array
+    dual_res: jax.Array
+    status: jax.Array  # SolveStatus value
+    logs: jax.Array  # (max_iter, 2) primal/dual residual history (0 beyond iters)
+
+
+def _norm(x):
+    return jnp.sqrt(jnp.sum(x * x))
+
+
+def admm_solve(
+    f_argmin: Callable,
+    project_x: Optional[Callable],
+    project_u: Optional[Callable],
+    shape_x,
+    shape_u,
+    cfg: ADMMConfig,
+    z_x_init=None,
+    z_u_init=None,
+    lmb_x_init=None,
+    lmb_u_init=None,
+    weight_x: Optional[Callable] = None,
+    weight_u: Optional[Callable] = None,
+    dtype=jnp.float32,
+):
+    """Run scaled two-block ADMM.
+
+    f_argmin(reg_x, reg_u) -> (x_x, x_u, aux): the x-update. reg_* are
+    (z - λ) regularization targets (None-block handling: when project_x
+    (resp. project_u) is None that block is disabled, as in the reference
+    `admm.py:18-23`, and reg_* is passed as None).
+
+    project_x / project_u: z-update projections mapping arrays of
+    shape_x / shape_u to the constraint sets.
+
+    weight_x / weight_u: optional callables r -> weighted r applied inside
+    the residual norms (weighted-residual ADMM variants).
+
+    Returns (x_x, x_u, aux, lmb_x, lmb_u, z_x, z_u, info: ADMMInfo).
+    """
+    has_x = project_x is not None
+    has_u = project_u is not None
+    if not (has_x or has_u):
+        raise ValueError("at least one of project_x / project_u is required")
+
+    wx = weight_x if weight_x is not None else (lambda r: r)
+    wu = weight_u if weight_u is not None else (lambda r: r)
+
+    z_x = jnp.zeros(shape_x, dtype) if z_x_init is None else jnp.asarray(z_x_init)
+    z_u = jnp.zeros(shape_u, dtype) if z_u_init is None else jnp.asarray(z_u_init)
+    lmb_x = jnp.zeros(shape_x, dtype) if lmb_x_init is None else jnp.asarray(lmb_x_init)
+    lmb_u = jnp.zeros(shape_u, dtype) if lmb_u_init is None else jnp.asarray(lmb_u_init)
+
+    # Shape-infer the x-update outputs to build a zero init for the carry.
+    out_shapes = jax.eval_shape(
+        f_argmin, z_x - lmb_x if has_x else None, z_u - lmb_u if has_u else None
+    )
+    zeros_out = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), out_shapes
+    )
+
+    big = jnp.asarray(1e6, dtype)
+    logs0 = jnp.zeros((cfg.max_iter, 2), dtype)
+
+    def cond(state):
+        j, *_rest, status = state
+        return jnp.logical_and(j < cfg.max_iter, status == SolveStatus.RUNNING)
+
+    def body(state):
+        j, z_x, z_u, lmb_x, lmb_u, _, prim, dual, logs, status = state
+
+        reg_x = z_x - lmb_x if has_x else None
+        reg_u = z_u - lmb_u if has_u else None
+        out = f_argmin(reg_x, reg_u)
+        x_x, x_u = out[0], out[1]
+
+        prim_new = jnp.asarray(0.0, dtype)
+        dual_new = jnp.asarray(0.0, dtype)
+
+        if has_x:
+            z_relaxed = cfg.alpha * x_x + (1.0 - cfg.alpha) * z_x
+            z_x_new = project_x(z_relaxed + lmb_x)
+            r_x = x_x - z_x_new
+            lmb_x = lmb_x + r_x
+            prim_new = prim_new + _norm(wx(r_x))
+            dual_new = dual_new + _norm(wx(z_x_new - z_x))
+            z_x = z_x_new
+        if has_u:
+            z_relaxed = cfg.alpha * x_u + (1.0 - cfg.alpha) * z_u
+            z_u_new = project_u(z_relaxed + lmb_u)
+            r_u = x_u - z_u_new
+            lmb_u = lmb_u + r_u
+            prim_new = prim_new + _norm(wu(r_u))
+            dual_new = dual_new + _norm(wu(z_u_new - z_u))
+            z_u = z_u_new
+
+        logs = logs.at[j].set(jnp.stack([prim_new, dual_new]))
+
+        converged = jnp.logical_and(prim_new < cfg.tol, dual_new < cfg.tol)
+        prim_change = jnp.abs(prim - prim_new) / (prim + _EPS)
+        dual_change = jnp.abs(dual - dual_new) / (dual + _EPS)
+        stalled = jnp.logical_and(prim_change < cfg.stall, dual_change < cfg.stall)
+
+        status_new = jnp.where(
+            converged,
+            SolveStatus.CONVERGED,
+            jnp.where(stalled, SolveStatus.STALLED, SolveStatus.RUNNING),
+        ).astype(jnp.int32)
+        return (j + 1, z_x, z_u, lmb_x, lmb_u, out, prim_new, dual_new, logs, status_new)
+
+    state0 = (
+        jnp.int32(0), z_x, z_u, lmb_x, lmb_u, zeros_out, big, big, logs0,
+        jnp.int32(SolveStatus.RUNNING),
+    )
+    j, z_x, z_u, lmb_x, lmb_u, out, prim, dual, logs, status = lax.while_loop(
+        cond, body, state0
+    )
+    status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status)
+    info = ADMMInfo(iters=j, prim_res=prim, dual_res=dual, status=status, logs=logs)
+    x_x, x_u = out[0], out[1]
+    aux = out[2] if len(out) > 2 else None
+    return x_x, x_u, aux, lmb_x, lmb_u, z_x, z_u, info

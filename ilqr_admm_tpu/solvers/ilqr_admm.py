@@ -1,0 +1,171 @@
+"""Constrained iLQR via ADMM splitting (ilqr_admm).
+
+Functional equivalent of `iSLS.ilqr_admm` (reference `isls.py:379-501`):
+outer loop relinearizes dynamics/cost around the nominal; the inner ADMM
+x-update solves the regularized lifted least-squares *with the parallel
+line search inside* and scores candidates with the augmented (penalty)
+cost (`isls.py:456-478`). z/λ are warm-started across outer iterations
+(`isls.py:488-490`); the outer loop stops on cost-change or oscillation
+detection (`isls.py:493-499`).
+
+The ADMM consensus variables are absolute flattened trajectories
+(N*x_dim,) / (N*u_dim,), so projection closures written for the reference
+notebooks port directly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ilqr_admm_tpu.ops.lifted import build_Su
+from ilqr_admm_tpu.ops.rollout import rollout_nonlinear
+from ilqr_admm_tpu.problem import ADMMConfig, SolveStatus
+from ilqr_admm_tpu.solvers.admm import admm_solve
+from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
+
+
+class ILQRADMMResult(NamedTuple):
+    x_nom: jax.Array
+    u_nom: jax.Array
+    cost: jax.Array
+    outer_iters: jax.Array
+    status: jax.Array
+    cost_log: jax.Array  # (max_iter,) outer-iteration costs (inf beyond)
+
+
+def ilqr_admm(
+    f: Callable,
+    get_AB: Callable,
+    cost_fn: Callable,
+    x_nom0,
+    u_nom0,
+    get_Cs: Optional[Callable] = None,
+    quad_cost=None,  # QuadCost when the cost is quadratic (get_Cs None)
+    project_x: Optional[Callable] = None,
+    project_u: Optional[Callable] = None,
+    rho_x=None,
+    rho_u=None,
+    max_iter: int = 20,
+    max_admm_iter: int = 20,
+    alphas: Optional[jax.Array] = None,
+    alpha: float = 1.0,
+    tol: float = 1e-3,
+    outer_tol: float = 1e-3,
+    osc_tol: float = 1e-3,
+) -> ILQRADMMResult:
+    """Run constrained iLQR-ADMM from a nominal trajectory guess."""
+    N, d = x_nom0.shape
+    m = u_nom0.shape[-1]
+    dtype = x_nom0.dtype
+    if alphas is None:
+        alphas = 10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=dtype)[:20]
+
+    Qr = broadcast_rho(rho_x, d, N, dtype)
+    Rr = broadcast_rho(rho_u, m, N, dtype)
+    Qr_l = block_diag_stacked(Qr) if (Qr is not None and project_x is not None) else None
+    Rr_l = block_diag_stacked(Rr) if (Rr is not None and project_u is not None) else None
+
+    admm_cfg = ADMMConfig(max_iter=max_admm_iter, alpha=alpha, tol=tol)
+
+    def outer_body(carry):
+        x_nom, u_nom, cost, it, status, z_x, z_u, l_x, l_u, cost_log = carry
+        A, B = get_AB(x_nom, u_nom)
+        Su = build_Su(A, B)
+        x_nom_f = x_nom.reshape(-1)
+        u_nom_f = u_nom.reshape(-1)
+
+        if get_Cs is not None:
+            cts, Cts = get_Cs(x_nom, u_nom)
+            Cxx = block_diag_stacked(Cts[:, :d, :d])
+            Cuu = block_diag_stacked(Cts[:, d:, d:])
+            cx = cts[:, :d].reshape(-1)
+            cu = cts[:, d:].reshape(-1)
+            SuTQ = Su.T @ (0.5 * Cxx)
+            l_side = SuTQ @ Su + 0.5 * Cuu
+            r_side = Su.T @ (-0.5 * cx) - 0.5 * cu
+        else:
+            Qlift = block_diag_stacked(quad_cost.Q)
+            Rlift = block_diag_stacked(quad_cost.R)
+            SuTQ = Su.T @ Qlift
+            l_side = SuTQ @ Su + Rlift
+            r_side = SuTQ @ (quad_cost.lifted_xd() - x_nom_f) + Rlift @ (-u_nom_f)
+
+        SuTQr = None
+        if Qr_l is not None:
+            SuTQr = Su.T @ Qr_l
+            l_side = l_side + SuTQr @ Su
+        if Rr_l is not None:
+            l_side = l_side + Rr_l
+        cf = cho_factor(l_side)
+
+        def f_argmin(x, u):
+            add_r = jnp.zeros_like(r_side)
+            if SuTQr is not None and x is not None:
+                add_r = add_r + SuTQr @ (x - x_nom_f)
+            if Rr_l is not None and u is not None:
+                add_r = add_r + Rr_l @ (u - u_nom_f)
+            delta_u = cho_solve(cf, r_side + add_r).reshape(N, m)
+
+            def rollout_alpha(a):
+                us = u_nom + a * delta_u
+                xs = rollout_nonlinear(f, x_nom[0], us)
+                return xs, us
+
+            xs_c, us_c = jax.vmap(rollout_alpha)(alphas)
+            costs = jax.vmap(cost_fn)(xs_c, us_c)
+            costs = jnp.where(jnp.isnan(costs), 1e5, costs)
+            # augmented-cost candidate scoring (`isls.py:470-477`)
+            if Qr_l is not None and x is not None:
+                dx = xs_c.reshape(len(alphas), -1) - x
+                costs = costs + jnp.einsum("ai,ij,aj->a", dx, Qr_l, dx)
+            if Rr_l is not None and u is not None:
+                du_ = us_c.reshape(len(alphas), -1) - u
+                costs = costs + jnp.einsum("ai,ij,aj->a", du_, Rr_l, du_)
+            ind = jnp.argmin(costs)
+            return xs_c[ind].reshape(-1), us_c[ind].reshape(-1)
+
+        x_x, x_u, _, l_x_n, l_u_n, z_x_n, z_u_n, _info = admm_solve(
+            f_argmin, project_x, project_u, (N * d,), (N * m,), admm_cfg,
+            z_x_init=z_x, z_u_init=z_u, lmb_x_init=l_x, lmb_u_init=l_u, dtype=dtype,
+        )
+
+        x_new = x_x.reshape(N, d)
+        u_new = x_u.reshape(N, m)
+        cost_new = cost_fn(x_new, u_new)
+        cost_log = cost_log.at[it].set(cost_new)
+
+        converged = jnp.abs(cost_new - cost) < outer_tol
+        recent = lax.dynamic_slice(
+            jnp.concatenate([jnp.full((8,), jnp.inf, dtype), cost_log]), (it + 1,), (8,)
+        )
+        osc = jnp.abs(jnp.mean(recent[4:]) - jnp.mean(recent[:4])) < osc_tol
+        status_new = jnp.where(
+            converged,
+            SolveStatus.CONVERGED,
+            jnp.where(osc, SolveStatus.OSCILLATING, SolveStatus.RUNNING),
+        ).astype(jnp.int32)
+        return (x_new, u_new, cost_new, it + 1, status_new, z_x_n, z_u_n, l_x_n, l_u_n, cost_log)
+
+    def outer_cond(carry):
+        _, _, _, it, status, *_ = carry
+        return jnp.logical_and(it < max_iter, status == SolveStatus.RUNNING)
+
+    cost0 = cost_fn(x_nom0, u_nom0)
+    carry0 = (
+        x_nom0, u_nom0, cost0, jnp.int32(0), jnp.int32(SolveStatus.RUNNING),
+        jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+        jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+        jnp.full((max_iter,), jnp.inf, dtype),
+    )
+    x_nom, u_nom, cost, it, status, *_rest, cost_log = lax.while_loop(
+        outer_cond, outer_body, carry0
+    )
+    status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status).astype(jnp.int32)
+    return ILQRADMMResult(
+        x_nom=x_nom, u_nom=u_nom, cost=cost, outer_iters=it, status=status, cost_log=cost_log
+    )

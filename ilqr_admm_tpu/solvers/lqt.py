@@ -1,0 +1,142 @@
+"""Linear-quadratic tracking solvers: batch least-squares, Riccati DP, SLS.
+
+Functional equivalents of the reference `SLS.solve_{batch,dp,sls}`
+(`sls.py:40-233`) and `SLS.controller` (`sls.py:235-242`), jit/vmap-ready.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ilqr_admm_tpu.ops.lifted import build_Su, build_Sw, sw_x0
+from ilqr_admm_tpu.ops.riccati import DPGains, lqt_backward
+from ilqr_admm_tpu.ops.sls_synthesis import sls_synthesize
+from ilqr_admm_tpu.problem import QuadCost
+
+
+def broadcast_rho(rho, dim: int, N: int, dtype=None):
+    """Broadcast an ADMM penalty spec to stacked (N, dim, dim) blocks.
+
+    Accepts: None | scalar | (dim, dim) | (N, dim, dim) — the reference's
+    `compute_Rr_Qr` broadcast rules (`base.py:55-79`). Returns None or
+    (N, dim, dim).
+    """
+    if rho is None:
+        return None
+    rho = jnp.asarray(rho, dtype=dtype)
+    if rho.ndim == 0:
+        return jnp.broadcast_to(rho * jnp.eye(dim, dtype=rho.dtype), (N, dim, dim))
+    if rho.ndim == 2:
+        return jnp.broadcast_to(rho, (N, dim, dim))
+    return rho
+
+
+def block_diag_stacked(blocks: jax.Array) -> jax.Array:
+    """Dense block-diagonal (N*d, N*d) from stacked (N, d, d) blocks."""
+    N, d = blocks.shape[0], blocks.shape[-1]
+    out = jnp.zeros((N * d, N * d), blocks.dtype)
+    idx = jnp.arange(N)
+    return out.at[
+        idx[:, None, None] * d + jnp.arange(d)[None, :, None],
+        idx[:, None, None] * d + jnp.arange(d)[None, None, :],
+    ].set(blocks)
+
+
+def lifted_normal_eqs(A, B, cost: QuadCost, Qr=None, Rr=None):
+    """Assemble the dense lifted pieces used by batch / SLS paths.
+
+    Returns dict with Su (Nd, Nm), Sw (Nd, Nd), SuTQ (Nm, Nd),
+    l_side = Su^T (Q + Qr) Su + R + Rr, SuTQr (Nm, Nd) or None.
+    """
+    Su = build_Su(A, B)
+    Sw = build_Sw(A)
+    Qlift = block_diag_stacked(cost.Q)
+    Rlift = block_diag_stacked(cost.R)
+    SuTQ = Su.T @ Qlift
+    l_side = SuTQ @ Su + Rlift
+    SuTQr = None
+    if Qr is not None:
+        SuTQr = Su.T @ block_diag_stacked(Qr)
+        l_side = l_side + SuTQr @ Su
+    Rr_lift = None
+    if Rr is not None:
+        Rr_lift = block_diag_stacked(Rr)
+        l_side = l_side + Rr_lift
+    return dict(Su=Su, Sw=Sw, SuTQ=SuTQ, l_side=l_side, SuTQr=SuTQr, Rr=Rr_lift)
+
+
+def lqt_solve_batch(A, B, cost: QuadCost, x0):
+    """Open-loop optimum via lifted least squares (reference `sls.py:62-83`).
+
+    Returns (xs (N, d), us (N, m)).
+    """
+    N, m = A.shape[0], B.shape[-1]
+    Su = build_Su(A, B)
+    Qlift = block_diag_stacked(cost.Q)
+    Rlift = block_diag_stacked(cost.R)
+    SuTQ = Su.T @ Qlift
+    l_side = SuTQ @ Su + Rlift
+
+    free = sw_x0(A, x0).reshape(-1)
+    r_side = SuTQ @ (cost.lifted_xd() - free)
+    u_opt = cho_solve(cho_factor(l_side), r_side)
+    x_opt = free + Su @ u_opt
+    return x_opt.reshape(N, -1), u_opt.reshape(N, m)
+
+
+def lqt_solve_dp(
+    A, B, cost: QuadCost,
+    Qr=None, xr=None, Rr=None, ur=None,
+) -> DPGains:
+    """LQT Riccati DP (reference `sls.py:85-166`): returns DPGains.
+
+    The feedback law is u_t = K_t x_t + k_t.
+    """
+    return lqt_backward(A, B, cost.Q, cost.xd, cost.R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
+
+
+def lqt_solve_sls(A, B, cost: QuadCost):
+    """SLS synthesis: causal feedback map Phi_u + feedforward du.
+
+    Reference `sls.py:205-233`, with the Woodbury cascade replaced by the
+    reversed-Cholesky batched solve (`ops/sls_synthesis.py`).
+    Returns (PHI_U (Nm, Nd), du (Nm,)).
+    """
+    x_dim, u_dim = A.shape[-1], B.shape[-1]
+    eqs = lifted_normal_eqs(A, B, cost)
+    r_ff = eqs["SuTQ"] @ cost.lifted_xd()
+    r_fb = -eqs["SuTQ"] @ eqs["Sw"]
+    return sls_synthesize(eqs["l_side"], r_ff, r_fb, u_dim, x_dim)
+
+
+def sls_controller(A, B, PHI_U, du):
+    """Recover time-domain gains (K, k) from the response map.
+
+    K = Phi_u Phi_x^{-1}; k = (I - K Su) du (reference `sls.py:235-242`).
+    """
+    Su = build_Su(A, B)
+    Sw = build_Sw(A)
+    PHI_X = Sw + Su @ PHI_U
+    K = jnp.linalg.solve(PHI_X.T, PHI_U.T).T
+    k = (jnp.eye(Su.shape[-1], dtype=Su.dtype) - K @ Su) @ du
+    return K, k
+
+
+def replanning_matrix(A, B, cost: QuadCost, K):
+    """Receding-horizon feedforward replanning operator.
+
+    reference `sls.py:244-248`: M = (I - K Su)(Su^T Q Su + R)^{-1} Su^T Q;
+    `k_new = k + M (xd_new - xd_old)`.
+    """
+    eqs = lifted_normal_eqs(A, B, cost)
+    Su = eqs["Su"]
+    rhs = jnp.linalg.solve(eqs["l_side"], eqs["SuTQ"])
+    return (jnp.eye(Su.shape[-1], dtype=Su.dtype) - K @ Su) @ rhs
+
+
+def replan_feedforward(k, replan_matrix, xd_new, xd_old):
+    return k + replan_matrix @ (xd_new - xd_old)

@@ -1,0 +1,135 @@
+"""Constrained LQT via ADMM splitting — batch and DP x-updates.
+
+Functional equivalents of `SLS.ADMM_LQT_Batch` (`sls.py:252-293`) and
+`SLS.ADMM_LQT_DP` (`sls.py:298-317`). The z-update projections operate on
+flattened lifted vectors (N*x_dim,) / (N*u_dim,), matching the reference
+notebook projection closures.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ilqr_admm_tpu.ops.lifted import build_Su, sw_x0
+from ilqr_admm_tpu.ops.riccati import lqt_backward, lqt_backward_ff
+from ilqr_admm_tpu.problem import ADMMConfig, QuadCost
+from ilqr_admm_tpu.solvers.admm import admm_solve
+from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
+
+
+def lqt_admm_batch(
+    A,
+    B,
+    cost: QuadCost,
+    x0,
+    project_x: Optional[Callable] = None,
+    project_u: Optional[Callable] = None,
+    rho_x=None,
+    rho_u=None,
+    cfg: ADMMConfig = ADMMConfig(),
+):
+    """Constrained LQT, lifted least-squares x-update (one matmul per iter).
+
+    Returns (x_flat, u_flat, info) with x_flat (N*x_dim,), u_flat (N*u_dim,).
+    """
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+
+    Qr = broadcast_rho(rho_x, d, N, dtype)
+    Rr = broadcast_rho(rho_u, m, N, dtype)
+
+    Su = build_Su(A, B)
+    Qlift = block_diag_stacked(cost.Q)
+    Rlift = block_diag_stacked(cost.R)
+    SuTQ = Su.T @ Qlift
+    l_side = SuTQ @ Su + Rlift
+    free = sw_x0(A, x0).reshape(-1)
+    r_side = SuTQ @ (cost.lifted_xd() - free)
+
+    # Warm start z from the unconstrained optimum (reference `sls.py:269-271`).
+    u_unc = cho_solve(cho_factor(l_side), r_side)
+    z_u0 = u_unc
+    z_x0 = free + Su @ u_unc
+
+    SuTQr = None
+    if Qr is not None:
+        SuTQr = Su.T @ block_diag_stacked(Qr)
+        l_side = l_side + SuTQr @ Su
+        r_side = r_side - SuTQr @ free
+    Rr_l = None
+    if Rr is not None:
+        Rr_l = block_diag_stacked(Rr)
+        l_side = l_side + Rr_l
+
+    cf = cho_factor(l_side)
+
+    def f_argmin(x, u):
+        r = r_side
+        if SuTQr is not None and x is not None:
+            r = r + SuTQr @ x
+        if Rr_l is not None and u is not None:
+            r = r + Rr_l @ u
+        u_hat = cho_solve(cf, r)
+        x_hat = free + Su @ u_hat
+        return x_hat, u_hat
+
+    x_x, x_u, _, _, _, _, _, info = admm_solve(
+        f_argmin, project_x, project_u, (N * d,), (N * m,), cfg,
+        z_x_init=z_x0, z_u_init=z_u0, dtype=dtype,
+    )
+    return x_x, x_u, info
+
+
+def lqt_admm_dp(
+    A,
+    B,
+    cost: QuadCost,
+    x0,
+    project_x: Optional[Callable] = None,
+    project_u: Optional[Callable] = None,
+    rho_x=None,
+    rho_u=None,
+    cfg: ADMMConfig = ADMMConfig(max_iter=2000),
+):
+    """Constrained LQT, Riccati DP x-update.
+
+    One full Riccati pass up-front caches (K, Quu, Quu_inv, Qux); each
+    ADMM iteration is the cheap feedforward re-sweep + closed-loop rollout
+    (reference `sls.py:298-317`).
+
+    Returns (x_flat, u_flat, (K, k), info).
+    """
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+
+    Qr = broadcast_rho(rho_x, d, N, dtype)
+    Rr = broadcast_rho(rho_u, m, N, dtype)
+    zxr = jnp.zeros((N, d), dtype)
+    zur = jnp.zeros((N, m), dtype)
+
+    gains = lqt_backward(A, B, cost.Q, cost.xd, cost.R, Qr=Qr, xr=zxr, Rr=Rr, ur=zur)
+
+    def f_argmin(x, u):
+        xr = x.reshape(N, d) if x is not None else None
+        ur = u.reshape(N, m) if u is not None else None
+        k = lqt_backward_ff(gains, A, B, cost.Q, cost.xd, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
+
+        # closed-loop rollout under the time-varying linear dynamics
+        def scan_step(xt, inp):
+            Kt, kt, At, Bt = inp
+            ut = Kt @ xt + kt
+            return At @ xt + Bt @ ut, (xt, ut)
+
+        _, (xs, us) = jax.lax.scan(scan_step, x0, (gains.K, k, A, B))
+        return xs.reshape(-1), us.reshape(-1), (gains.K, k)
+
+    x_x, x_u, aux, _, _, _, _, info = admm_solve(
+        f_argmin, project_x, project_u, (N * d,), (N * m,), cfg, dtype=dtype
+    )
+    return x_x, x_u, aux, info

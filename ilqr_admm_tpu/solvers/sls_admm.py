@@ -1,0 +1,101 @@
+"""Robust SLS-ADMM: chance-constrained response-map synthesis.
+
+Functional equivalent of `SLS.ADMM_SLS` (`sls.py:319-454`). The decision
+variable is the matrix [du | Phi_u[:, :p]] — feedforward plus the
+response-map columns w.r.t. the first p initial-state coordinates
+(robustness w.r.t. the initial-position block; reference `sls.py:357-358`)
+— so the x-update is a single multi-RHS prefactored solve (MXU matmul).
+Residual norms are penalty-weighted (reference `sls.py:411-418`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ilqr_admm_tpu.ops.lifted import build_Su, build_Sw
+from ilqr_admm_tpu.problem import ADMMConfig, QuadCost
+from ilqr_admm_tpu.solvers.admm import admm_solve
+from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
+from ilqr_admm_tpu.solvers.lqt import lqt_solve_sls
+
+
+def sls_admm(
+    A,
+    B,
+    cost: QuadCost,
+    project_x: Optional[Callable] = None,
+    project_u: Optional[Callable] = None,
+    rho_x=None,
+    rho_u=None,
+    robust_dim: Optional[int] = None,
+    cfg: ADMMConfig = ADMMConfig(max_iter=5000, stall_tol=1e-2),
+):
+    """Solve the robust SLS problem with ADMM.
+
+    robust_dim: number of leading initial-state coordinates the synthesis
+    is robust to (reference hardcodes x_dim // 2 — the position block).
+    Projections receive (rows, robust_dim + 1) matrices whose rows are
+    [du_i, phi_i] points.
+
+    Returns (du (Nm,), phi_u (Nm, Nd), info). phi_u splices the optimized
+    robust columns into the unconstrained response map (`sls.py:450`).
+    """
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+    p = d // 2 if robust_dim is None else robust_dim
+
+    # Unconstrained synthesis for the non-robust columns.
+    PHI_U_unc, _ = lqt_solve_sls(A, B, cost)
+
+    Su = build_Su(A, B)
+    Sw = build_Sw(A)
+    Sx = Sw[:, :p]
+
+    Qr = broadcast_rho(rho_x, d, N, dtype)
+    Rr = broadcast_rho(rho_u, m, N, dtype)
+    Qr_l = block_diag_stacked(Qr) if Qr is not None else None
+    Rr_l = block_diag_stacked(Rr) if Rr is not None else None
+
+    Qlift = block_diag_stacked(cost.Q)
+    SuTQ = Su.T @ Qlift
+    l_side = SuTQ @ Su + block_diag_stacked(cost.R)
+    r_side_ff = SuTQ @ cost.lifted_xd()
+    r_side_fb = -SuTQ @ Sx
+
+    SuTQr = None
+    if Qr_l is not None and project_x is not None:
+        SuTQr = Su.T @ Qr_l
+        l_side = l_side + SuTQr @ Su
+        r_side_fb = r_side_fb - SuTQr @ Sx
+    if Rr_l is not None and project_u is not None:
+        l_side = l_side + Rr_l
+
+    cf = cho_factor(l_side)
+    r_side = jnp.concatenate([r_side_ff[:, None], r_side_fb], axis=-1)  # (Nm, p+1)
+
+    def f_argmin(x, u):
+        r = r_side
+        if SuTQr is not None and x is not None:
+            r = r + SuTQr @ x
+        if Rr_l is not None and u is not None:
+            r = r + Rr_l @ u
+        U = cho_solve(cf, r)  # (Nm, p+1)
+        X = Su @ U
+        X = X.at[:, 1:].add(Sx)
+        return X, U
+
+    weight_x = (lambda r: Qr_l @ r) if Qr_l is not None else None
+    weight_u = (lambda r: Rr_l @ r) if Rr_l is not None else None
+
+    x_x, x_u, _, _, _, _, _, info = admm_solve(
+        f_argmin, project_x, project_u,
+        (N * d, p + 1), (N * m, p + 1), cfg,
+        weight_x=weight_x, weight_u=weight_u, dtype=dtype,
+    )
+    du = x_u[:, 0]
+    phi_u = jnp.concatenate([x_u[:, 1 : p + 1], PHI_U_unc[:, p:]], axis=-1)
+    return du, phi_u, info

@@ -1,0 +1,124 @@
+"""LQT solver equivalence and golden-number tests.
+
+Oracles (SURVEY §4):
+- batch-vs-dp-vs-sls cross-solver agreement on the same problem;
+- golden values recorded in the reference notebooks (deterministic
+  setups): final position ≈ 1 for the control-bounds double integrator.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+from ilqr_admm_tpu.problem import QuadCost
+from ilqr_admm_tpu.solvers.lqt import (
+    lqt_solve_batch,
+    lqt_solve_dp,
+    lqt_solve_sls,
+    sls_controller,
+)
+from ilqr_admm_tpu.ops.rollout import rollout_closed_loop
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+
+def make_di_problem(x_dim=1, N=100, u_std=1e-2, x_std=1e6, target=(1.0, 0.0)):
+    """The double-integrator control-bounds notebook setup (cells 3-6)."""
+    plant = DoubleIntegrator(x_dim, 2, dt=1.0 / N)
+    d = plant.x_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray(target, jnp.float64)])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * x_std])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, u_std, plant.u_dim)
+    A, B = plant.AB(N)
+    return plant, A, B, cost
+
+
+def test_batch_reaches_target():
+    plant, A, B, cost = make_di_problem()
+    x0 = jnp.zeros(plant.x_dim)
+    xs, us = lqt_solve_batch(A, B, cost, x0)
+    assert abs(float(xs[-1, 0]) - 1.0) < 1e-3  # last position ~ target
+    assert abs(float(xs[-1, 1])) < 1e-2  # last velocity ~ 0
+
+
+def test_batch_dp_sls_agree():
+    plant, A, B, cost = make_di_problem(x_std=1e3, u_std=1e-3)
+    d = plant.x_dim
+    x0 = jnp.asarray([0.3, -0.2])
+
+    xs_b, us_b = lqt_solve_batch(A, B, cost, x0)
+
+    gains = lqt_solve_dp(A, B, cost)
+
+    def lin_f(x, u):
+        return plant.A @ x + plant.B @ u
+
+    xs_d, us_d = rollout_closed_loop(lin_f, x0, gains.K, gains.k)
+
+    np.testing.assert_allclose(np.asarray(xs_b), np.asarray(xs_d), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(us_b), np.asarray(us_d), atol=1e-8)
+
+    # SLS: u = PHI_U[:, :d] x0 + du must reproduce the same open-loop optimum
+    PHI_U, du = lqt_solve_sls(A, B, cost)
+    u_sls = (PHI_U[:, :d] @ x0 + du).reshape(-1, plant.u_dim)
+    np.testing.assert_allclose(np.asarray(u_sls), np.asarray(us_b), atol=1e-8)
+
+
+def test_sls_controller_consistency():
+    """controller() gains rolled out = the SLS response prediction."""
+    plant, A, B, cost = make_di_problem(x_std=1e3, u_std=1e-3)
+    d = plant.x_dim
+    PHI_U, du = lqt_solve_sls(A, B, cost)
+    K, k = sls_controller(A, B, PHI_U, du)
+
+    from ilqr_admm_tpu.ops.rollout import rollout_sls
+
+    x0 = jnp.asarray([0.15, 0.1])
+
+    def lin_f(x, u):
+        return plant.A @ x + plant.B @ u
+
+    xs, us = rollout_sls(lin_f, x0, K, k, d, plant.u_dim)
+    u_pred = (PHI_U[:, :d] @ x0 + du).reshape(-1, plant.u_dim)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(u_pred), atol=1e-6)
+
+
+def test_dp_with_regularizer_matches_augmented_cost():
+    """solve_dp with (Qr, xr) equals solve_dp on the explicitly augmented cost."""
+    plant, A, B, cost = make_di_problem(x_std=1e2, u_std=1e-2)
+    N, d, m = cost.N, plant.x_dim, plant.u_dim
+    rng = np.random.default_rng(1)
+    Qr = jnp.asarray(np.tile(np.eye(d) * 0.7, (N, 1, 1)))
+    xr = jnp.asarray(rng.normal(size=(N, d)))
+    Rr = jnp.asarray(np.tile(np.eye(m) * 0.3, (N, 1, 1)))
+    ur = jnp.asarray(rng.normal(size=(N, m)))
+
+    gains_reg = lqt_solve_dp(A, B, cost, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
+
+    # Augmented quadratic: (Q + Qr) with target solving (Q+Qr) xd' = Q xd + Qr xr
+    # plus R' = R + Rr with target ur — compare via the batch solution of the
+    # augmented objective including the linear terms.
+    def lin_f(x, u):
+        return plant.A @ x + plant.B @ u
+
+    x0 = jnp.zeros(d)
+    xs, us = rollout_closed_loop(lin_f, x0, gains_reg.K, gains_reg.k)
+
+    # Finite-difference optimality check of the augmented objective:
+    def aug_cost(us_flat):
+        us_ = us_flat.reshape(N, m)
+        from ilqr_admm_tpu.ops.rollout import rollout_linear
+
+        xs_ = rollout_linear(A, B, x0, us_)
+        c = cost(xs_, us_)
+        c = c + jnp.einsum("ti,tij,tj->", xs_ - xr, Qr, xs_ - xr)
+        c = c + jnp.einsum("ti,tij,tj->", us_ - ur, Rr, us_ - ur)
+        return c
+
+    g = jax.grad(aug_cost)(us.reshape(-1))
+    # gradient w.r.t. u_{N-1} is not zero-forced by DP (final gains are 0),
+    # so check all but the final step
+    assert float(jnp.max(jnp.abs(g[: (N - 1) * m]))) < 1e-6
