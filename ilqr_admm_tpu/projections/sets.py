@@ -67,7 +67,8 @@ def project_soc(z0, A, b, rho: float = 1.0, max_iter: int = 100, tol: float = 1e
         return j + 1, z_new, lmb_new, prim_new, dual_new, prim, dual
 
     big = jnp.asarray(1e5, z0b.dtype)
-    state = (jnp.int32(0), z_init, lmb_init, big, big, big, big)
+    prev = jnp.asarray(1e10, z0b.dtype)  # != big so the stall check can't fire before iterating
+    state = (jnp.int32(0), z_init, lmb_init, big, big, prev, prev)
     _, z, *_ = lax.while_loop(cond, body, state)
     return z[0] if single else z
 
@@ -139,7 +140,8 @@ def project_set_convex(
         return j + 1, x_new, tuple(zs_new), tuple(lmbs_new), prim_new, dual_new, prim, dual
 
     big = jnp.asarray(1e5, x0b.dtype)
-    state = (jnp.int32(0), x0b, z_init, lmb_init, big, big, big, big)
+    prev = jnp.asarray(1e10, x0b.dtype)  # != big so the stall check can't fire before iterating
+    state = (jnp.int32(0), x0b, z_init, lmb_init, big, big, prev, prev)
     _, x, *_ = lax.while_loop(cond, body, state)
     return x[0] if single else x
 

@@ -1,0 +1,134 @@
+"""Constrained LQT-ADMM tests against the reference's golden numbers.
+
+Oracles (SURVEY §4, BASELINE.md):
+- control-bounds double integrator (deterministic setup): constrained
+  cost ≈ 1.250e1 vs unconstrained ≈ 1.237e1; max |u| ≈ bound 5.0.
+- state+control bounds: batch and DP paths agree (reference: identical
+  cost 3.09e-2), constraint-satisfaction oracle max violation ≤ tol.
+- cost ordering: constrained cost ≥ unconstrained cost.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+from ilqr_admm_tpu.problem import ADMMConfig
+from ilqr_admm_tpu.projections import project_bound
+from ilqr_admm_tpu.solvers.lqt import lqt_solve_batch
+from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_batch, lqt_admm_dp
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+
+def control_bounds_problem(N=100):
+    """Double integrator / control-bounds notebook setup (cells 3-6)."""
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d = plant.x_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e6])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, plant.u_dim)
+    A, B = plant.AB(N)
+    return plant, A, B, cost
+
+
+def state_bounds_problem(N=100):
+    """State-bounds notebook setup (cells 3-6): zero tracking cost."""
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d = plant.x_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 1.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.zeros((d, d))])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-4, plant.u_dim)
+    A, B = plant.AB(N)
+    return plant, A, B, cost
+
+
+def test_control_bounds_batch_golden():
+    plant, A, B, cost = control_bounds_problem()
+    x0 = jnp.zeros(plant.x_dim)
+    xs_unc, us_unc = lqt_solve_batch(A, B, cost, x0)
+    cost_unc = float(cost(xs_unc, us_unc))
+
+    proj_u = lambda u: project_bound(u, -5.0, 5.0)
+    cfg = ADMMConfig(max_iter=100, tol=1e-4, log=True)
+    x, u, info = lqt_admm_batch(A, B, cost, x0, project_u=proj_u, rho_u=1e-2, cfg=cfg)
+
+    xs = x.reshape(100, -1)
+    us = u.reshape(100, -1)
+    cost_con = float(cost(xs, us))
+
+    # golden numbers from the reference notebook (cell 11 output)
+    assert abs(cost_unc - 12.37) < 0.15, cost_unc
+    assert abs(cost_con - 12.50) < 0.15, cost_con
+    assert cost_con >= cost_unc
+    # constraint-satisfaction oracle: violation within ADMM tolerance scale
+    assert float(jnp.max(u)) <= 5.0 + 1e-2
+    assert float(jnp.min(u)) >= -5.0 - 1e-2
+    # control actually hits the bound (active constraint)
+    assert float(jnp.max(jnp.abs(u))) > 4.99
+
+
+def test_control_bounds_dp_matches_batch():
+    plant, A, B, cost = control_bounds_problem()
+    x0 = jnp.zeros(plant.x_dim)
+    proj_u = lambda u: project_bound(u, -5.0, 5.0)
+
+    xb, ub, _ = lqt_admm_batch(
+        A, B, cost, x0, project_u=proj_u, rho_u=1e-2,
+        cfg=ADMMConfig(max_iter=200, tol=1e-5),
+    )
+    xd, ud, (K, k), _ = lqt_admm_dp(
+        A, B, cost, x0, project_u=proj_u, rho_u=1e-1,
+        cfg=ADMMConfig(max_iter=500, tol=1e-4),
+    )
+    cb = float(cost(xb.reshape(100, -1), ub.reshape(100, -1)))
+    cd = float(cost(xd.reshape(100, -1), ud.reshape(100, -1)))
+    assert abs(cb - cd) < 0.02 * abs(cb), (cb, cd)
+    assert K.shape == (100, plant.u_dim, plant.x_dim)
+
+
+def test_state_and_control_bounds_both_paths():
+    """State-bounds notebook cells 12-14: final-state pin via projection."""
+    plant, A, B, cost = state_bounds_problem()
+    N, d = 100, plant.x_dim
+    x0 = jnp.zeros(d)
+
+    def proj_x(x):
+        x_ = x.reshape(N, d)
+        x_ = x_.at[-1, 0].set(jnp.clip(x_[-1, 0], 0.5, 0.5))
+        x_ = x_.at[-1, 1].set(0.0)
+        return x_.reshape(-1)
+
+    proj_u = lambda u: project_bound(u, -3.0, 3.0)
+
+    rho_x = np.zeros((N, d, d))
+    rho_x[-1, 0, 0] = 1e1
+    rho_x[-1, 1, 1] = 1e1
+
+    xb, ub, _ = lqt_admm_batch(
+        A, B, cost, x0, project_x=proj_x, project_u=proj_u,
+        rho_x=jnp.asarray(rho_x), rho_u=1e-3,
+        cfg=ADMMConfig(max_iter=500, tol=1e-3),
+    )
+    xd_, ud_, _, _ = lqt_admm_dp(
+        A, B, cost, x0, project_x=proj_x, project_u=proj_u,
+        rho_x=jnp.asarray(rho_x), rho_u=1e-3,
+        cfg=ADMMConfig(max_iter=5000, tol=1e-4),
+    )
+    cb = float(cost(xb.reshape(N, d), ub.reshape(N, -1)))
+    cd = float(cost(xd_.reshape(N, d), ud_.reshape(N, -1)))
+
+    # reference golden: both paths 3.09e-2 (cells 13/14)
+    assert abs(cb - 3.09e-2) < 5e-3, cb
+    assert abs(cd - 3.09e-2) < 5e-3, cd
+
+    # constraint oracles: final position ~0.5, final velocity ~0, u in bounds
+    for xf, uf in [(xb, ub), (xd_, ud_)]:
+        xs = np.asarray(xf).reshape(N, d)
+        us = np.asarray(uf).reshape(N, -1)
+        assert abs(xs[-1, 0] - 0.5) < 2e-2
+        assert abs(xs[-1, 1]) < 2e-2
+        assert np.abs(us).max() <= 3.0 + 1e-2

