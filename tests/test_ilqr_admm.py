@@ -1,0 +1,110 @@
+"""Constrained iLQR-ADMM tests (car control bounds, arm state+control bounds).
+
+Golden targets (BASELINE.md):
+- car + control bounds: reference final cost 1.903 (DDP-replicate c21);
+  bound satisfaction |u1| <= 0.5, |u2| <= 2.0.
+- 3DoF arm + state & control bounds: reference final cost 0.1996
+  (3DoF bounds c24); velocity bounds |q_dot| <= 1.5, |u| <= 6, final ee-x
+  in [0.5, 1.0].
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ilqr_admm_tpu.models.arm import PlanarArm
+from ilqr_admm_tpu.models.car import CarFrontWheel, CarParkingCost
+from ilqr_admm_tpu.ops.rollout import rollout_nonlinear
+from ilqr_admm_tpu.projections import project_bound
+from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+
+@pytest.mark.slow
+def test_car_control_bounds():
+    N = 500
+    car = CarFrontWheel(dt=15.0 / N)
+    cost = CarParkingCost()
+    rng = np.random.default_rng(3)
+    u0 = jnp.asarray(rng.normal(size=(N, 2)) * 0.1)
+    x0 = jnp.asarray([1.0, 1.0, 3.0 * np.pi / 2, 0.0])
+    x_nom0 = rollout_nonlinear(car.step, x0, u0)
+
+    lo = jnp.asarray([-0.5, -2.0])
+    hi = jnp.asarray([0.5, 2.0])
+
+    def proj_u(u):
+        return jnp.clip(u.reshape(N, 2), lo, hi).reshape(-1)
+
+    res = ilqr_admm(
+        car.step, car.get_AB, cost, x_nom0, u0,
+        get_Cs=cost.get_Cs, project_u=proj_u,
+        rho_u=jnp.diag(jnp.asarray([1e-1, 1e-2])),
+        max_iter=50, max_admm_iter=5,
+        alphas=10.0 ** jnp.linspace(0.0, -5.0, 50)[:40],
+        tol=1e-3,
+    )
+    us = np.asarray(res.u_nom)
+    # bound satisfaction (constraint oracle, ADMM-tolerance slack)
+    assert us[:, 0].max() <= 0.5 + 5e-2 and us[:, 0].min() >= -0.5 - 5e-2
+    assert us[:, 1].max() <= 2.0 + 5e-2 and us[:, 1].min() >= -2.0 - 5e-2
+    # reference final cost 1.903; allow generous slack for init differences
+    assert float(res.cost) < 2.6, float(res.cost)
+    # constrained cost must exceed the unconstrained optimum (~0.93)
+    assert float(res.cost) > 0.9
+
+
+def test_arm_state_control_bounds():
+    N = 100
+    arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N)
+    d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
+    x_std, u_std = 1e6, 1e-4
+    target = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 1.0, 0.0])
+    w = jnp.asarray([0.0] * n + [x_std] * n + [0.0, x_std, 0.0])
+    zs = jnp.stack([jnp.zeros(d), target])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.diag(w)])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, u_std, m)
+
+    x0 = arm.initial_state(jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4]))
+    u0 = jnp.ones((N, m))
+    x_nom0 = rollout_nonlinear(arm.step, x0, u0)
+
+    lower_u, upper_u = -6.0, 6.0
+    lower_xf, upper_xf = 0.5, 1.0
+    lower_dq, upper_dq = -1.5, 1.5
+
+    def proj_u(u):
+        return jnp.clip(u, lower_u, upper_u)
+
+    def proj_x(x):
+        x_ = x.reshape(N, d)
+        x_ = x_.at[-1, 2 * n].set(jnp.clip(x_[-1, 2 * n], lower_xf, upper_xf))
+        x_ = x_.at[:, n : 2 * n].set(jnp.clip(x_[:, n : 2 * n], lower_dq, upper_dq))
+        return x_.reshape(-1)
+
+    rho_x = np.zeros((N, d, d))
+    rho_x[-1, 2 * n, 2 * n] = 1e1
+    for t in range(N):
+        rho_x[t, n : 2 * n, n : 2 * n] = np.eye(n) * 1e-2
+
+    res = ilqr_admm(
+        arm.step, arm.get_AB, quad, x_nom0, u0,
+        quad_cost=quad, project_x=proj_x, project_u=proj_u,
+        rho_x=jnp.asarray(rho_x), rho_u=1e-3,
+        max_iter=20, max_admm_iter=10,
+        alphas=10.0 ** jnp.linspace(0.0, -5.0, 50)[:5],
+        tol=1e-4,
+    )
+    xs = np.asarray(res.x_nom)
+    us = np.asarray(res.u_nom)
+    # constraint oracles
+    assert np.abs(us).max() <= upper_u + 0.1, np.abs(us).max()
+    assert xs[:, n : 2 * n].max() <= upper_dq + 0.1
+    assert xs[:, n : 2 * n].min() >= lower_dq - 0.1
+    assert lower_xf - 0.05 <= xs[-1, 2 * n] <= upper_xf + 0.05, xs[-1, 2 * n]
+    # reference final cost 0.1996 (c24); ours should be in the same regime
+    assert float(res.cost) < 0.35, float(res.cost)
+    # constrained >= unconstrained optimum (~0.047 here)
+    assert float(res.cost) > 0.04
