@@ -1,0 +1,159 @@
+"""Facade parity tests: reference-style workflows through SLS / iSLS.
+
+Exercises the classes exactly as the reference notebooks do (SURVEY §2
+component #13): 2-D A/B assignment, via-point costs, solve dispatch,
+ADMM methods with lambda projections, Monte-Carlo rollout simulators,
+and the notebook-era API aliases (`set_cost_variables`, `solve_ilqr`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ilqr_admm_tpu import SLS, iSLS, get_double_integrator_AB
+from ilqr_admm_tpu.models.car import CarFrontWheel, CarParkingCost
+from ilqr_admm_tpu.projections import project_bound
+
+
+def test_sls_notebook_workflow():
+    """Double integrator control-bounds notebook, end to end."""
+    N, d, u_dim = 100, 2, 1
+    A, B = get_double_integrator_AB(1, nb_deriv=2, dt=1.0 / N)
+
+    sls = SLS(d, u_dim, N)
+    sls.AB = [A, B]  # 2-D matrices broadcast over the horizon
+
+    zs = np.stack([np.zeros(d), np.array([1.0, 0.0])])
+    Qs = np.stack([np.zeros((d, d)), np.eye(d) * 1e6])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    sls.set_quadratic_cost(zs, Qs, seq, 1e-2)
+
+    x0 = np.zeros(d)
+    x_opt, u_opt = sls.solve(x0, method="batch")
+    assert abs(float(x_opt[-1, 0]) - 1.0) < 1e-3
+
+    K, k = sls.solve(method="dp")
+    xs_dp, us_dp = sls.get_trajectory_dp(x0, K, k)
+    np.testing.assert_allclose(np.asarray(xs_dp), np.asarray(x_opt), atol=1e-6)
+
+    # lifted operators exposed like the reference (`sls.Sw`, `sls.Su`)
+    x_lift = np.asarray(sls.Sw)[:, :d] @ x0 + np.asarray(sls.Su) @ np.asarray(
+        u_opt
+    ).reshape(-1)
+    np.testing.assert_allclose(x_lift.reshape(N, d), np.asarray(x_opt), atol=1e-8)
+
+    # constrained solve with a notebook-style lambda projection
+    x_c, u_c, log = sls.ADMM_LQT_Batch(
+        x0, project_u=lambda u: project_bound(u, -5.0, 5.0),
+        max_iter=100, rho_u=1e-2, tol=1e-4, verbose=False, log=True,
+    )
+    assert float(np.max(u_c)) <= 5.0 + 1e-2
+    assert log.shape[1] == 2 and log.shape[0] >= 1
+    c_con = float(sls.compute_cost(x_c, u_c))
+    c_unc = float(sls.compute_cost(x_opt, u_opt))
+    assert c_con >= c_unc
+    assert abs(c_con - 12.50) < 0.15
+
+    # DP variant returns gains usable for MC rollouts
+    x_c2, u_c2, K2, k2 = sls.ADMM_LQT_DP(
+        x0, project_u=lambda u: project_bound(u, -5.0, 5.0),
+        max_iter=500, rho_u=1e-1, tol=1e-4,
+    )
+    x0s = np.zeros((64, d))
+    x0s[:, 0] = np.random.default_rng(0).normal(0, 0.1, 64)
+    xs_mc, us_mc = sls.get_trajectory_dp(x0s, K2, k2)
+    assert xs_mc.shape == (64, N, d)
+
+    # SLS synthesis + controller + history-feedback rollout
+    PHI_U, du = sls.solve(method="sls")
+    K_sls, k_sls = sls.controller(PHI_U, du)
+    xs_sls, us_sls = sls.get_trajectory_sls(x0s, K_sls, k_sls)
+    assert xs_sls.shape == (64, N, d)
+
+    # replanning
+    sls.initialize_replanning_procedure(K_sls)
+    zs2 = zs.copy()
+    zs2[1, 0] = 0.7
+    xd_new = jnp.asarray(zs2)[jnp.asarray(seq)].reshape(-1)
+    k_new = sls.replan_feedforward(k_sls, xd_new)
+    assert k_new.shape == k_sls.shape
+
+
+def test_isls_tutorial_workflow():
+    """Tutorial.ipynb car workflow through the iSLS facade."""
+    N = 200
+    car = CarFrontWheel(dt=0.03)  # reference discretization; shorter horizon
+    cost = CarParkingCost()
+
+    sls = iSLS(x_dim=4, u_dim=2, N=N)
+    sls.forward_model = car.step
+    sls.cost_function = cost  # single-trajectory callable
+
+    rng = np.random.default_rng(5)
+    u0 = rng.normal(size=(N, 2)) * 0.1
+    x0 = np.array([1.0, 1.0, 3 * np.pi / 2, 0.0])
+
+    x_nom, u_nom = sls.get_trajectory_batch(x0, u0)
+    sls.reset()
+    sls.nominal_values = x_nom, u_nom
+    assert isinstance(sls.cost, float)
+    assert len(sls.cost_log) == 1
+
+    sls.solve(car.get_AB, cost.get_Cs, max_iter=25, max_line_search_iter=25,
+              method="dp", verbose=False)
+    assert sls.cost < sls.cost_log[0]
+    assert len(sls.cost_log) > 1
+
+    # notebook-era alias
+    sls.reset()
+    sls.nominal_values = x_nom, u_nom
+    sls.solve_ilqr(car.get_AB, get_Cs=cost.get_Cs, max_ilqr_iter=5, dp=True)
+    assert len(sls.cost_log) >= 2
+
+    # constrained: ilqr_admm with control bounds (notebook cells 25-27)
+    sls.reset()
+    sls.nominal_values = x_nom, u_nom
+
+    def project_u(u):
+        u_ = u.reshape(N, 2)
+        u_ = u_.at[:, 0].set(jnp.clip(u_[:, 0], -0.5, 0.5))
+        u_ = u_.at[:, 1].set(jnp.clip(u_[:, 1], -2.0, 2.0))
+        return u_.reshape(-1)
+
+    log = sls.ilqr_admm(
+        get_AB=car.get_AB, get_Cs=cost.get_Cs, project_u=project_u,
+        max_iter=20, max_admm_iter=5, max_line_search_iter=25,
+        rho_u=np.diag([1e-1, 1e-2]), tol=1e-3, log=True,
+    )
+    us = np.asarray(sls.u_nom)
+    assert np.abs(us[:, 0]).max() <= 0.5 + 5e-2
+    assert np.abs(us[:, 1]).max() <= 2.0 + 5e-2
+
+
+def test_isls_quadratic_cost_and_aliases():
+    """set_cost_variables + quadratic-cost iLQR path (Car notebooks)."""
+    from ilqr_admm_tpu.models.car import CarSimple
+
+    N = 80
+    car = CarSimple(dt=15.0 / 500)
+    sls = iSLS(4, 2, N)
+    sls.forward_model = car.step
+
+    x_std = 1e2
+    zs = np.stack([np.zeros(4), np.array([-1.0, -1.0, np.pi / 4, 0.0])])
+    Qs = np.stack([np.zeros((4, 4)), np.eye(4) * x_std])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    sls.set_cost_variables(zs, Qs, seq, 1e-2)  # notebook-era alias
+
+    x0 = np.array([0.0, -2.0, np.pi / 2, 0.0])
+    x_nom, u_nom = sls.rollout_batch(x0[None], np.zeros((1, N, 2)))
+    sls.reset()
+    sls.nominal_values = x_nom[0], u_nom[0]
+
+    c0 = sls.cost
+    sls.solve(car.get_AB, method="dp", max_iter=30, max_line_search_iter=30)
+    assert sls.cost < c0
+    xf = np.asarray(sls.x_nom[-1])
+    assert np.linalg.norm(xf[:2] - np.array([-1.0, -1.0])) < 0.3
