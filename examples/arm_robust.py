@@ -1,0 +1,93 @@
+"""3DoF arm robust iSLS-ADMM with chance-constrained control bounds.
+
+Mirrors `3DoF robot/State bounds and robust control bounds.ipynb`:
+synthesize a feedback controller robust to Gaussian uncertainty in the
+initial joint configuration (var 0.1) so |u| <= 6 holds with probability
+Psi(0.82) per side; validate with 1,000 Monte-Carlo rollouts
+(reference: non-robust 77.3 % vs robust 95.8 %).
+
+Run: python examples/arm_robust.py
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.stats import norm
+
+from ilqr_admm_tpu import iSLS
+from ilqr_admm_tpu.models.arm import PlanarArm
+from ilqr_admm_tpu.projections import project_set_convex, project_soc_unit
+
+
+def main():
+    N = 100
+    arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N)
+    d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
+
+    sls = iSLS(d, m, N)
+    sls.forward_model = arm.step
+
+    x_std, u_std = 1e3, 1e-4
+    target = np.array([0.0] * n + [0.0] * n + [1.5, 2.0, 0.0])
+    w = np.array([0.0] * n + [x_std] * n + [x_std, x_std, 0.0])
+    zs = np.stack([np.zeros(d), target])
+    Qs = np.stack([np.zeros((d, d)), np.diag(w)])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    sls.set_cost_variables(zs, Qs, seq, u_std)
+
+    q0 = np.array([np.pi / 3, -np.pi / 2, -np.pi / 4])
+    x0 = arm.initial_state(jnp.asarray(q0))
+    u0 = np.zeros((N, m))
+    x_nom, u_nom = sls.get_trajectory_batch(np.asarray(x0), u0)
+
+    var_q0, upper_u = 0.1, 6.0
+    psi_inv = float(norm.ppf(0.82))
+
+    def mc_success(du, phi_u):
+        PHI_U = jnp.zeros((m * N, d * N)).at[:, :n].set(phi_u)
+        K, k = sls.controller(PHI_U, du)
+        rng = np.random.default_rng(0)
+        q0s = rng.normal(q0, np.sqrt(var_q0), size=(1000, n))
+        x0s = np.concatenate(
+            [q0s, np.zeros((1000, n)),
+             np.stack([np.asarray(arm.fk(jnp.asarray(q))) for q in q0s])], axis=-1)
+        _, us = sls.get_trajectory_sls(x0s, K, k)
+        ok = (np.abs(np.asarray(us)) <= upper_u + 1e-3).all(axis=(1, 2))
+        return 100 * ok.mean()
+
+    # --- non-robust synthesis (no projections)
+    sls.reset()
+    sls.nominal_values = x_nom, u_nom
+    du0, phi0 = sls.isls_admm(n, arm.get_AB, max_line_search=10, k_max=100,
+                              max_admm_iter=10, threshold=1e-4)
+    print(f"non-robust cost {sls.cost:.4f}; MC success {mc_success(du0, phi0):.1f} % "
+          f"(reference 77.3 %)")
+
+    # --- robust synthesis with SOC chance projections per control row
+    mu = np.zeros(n + 1); mu[0] = 1.0
+    sigma = np.zeros(n + 1); sigma[1:] = var_q0
+    Adiag = np.diag(np.sqrt(sigma))
+    A_hi = jnp.asarray(np.concatenate([Adiag, (-mu / psi_inv)[None]], 0))
+    b_hi = jnp.asarray(np.append(np.zeros(n + 1), upper_u / psi_inv))
+    A_lo = jnp.asarray(np.concatenate([Adiag, (mu / psi_inv)[None]], 0))
+    b_lo = jnp.asarray(np.append(np.zeros(n + 1), upper_u / psi_inv))
+
+    def project_u(y, u_nom_cur):
+        y_abs = y.at[:, 0].add(u_nom_cur.reshape(-1))
+        y_p = project_set_convex(y_abs, [A_hi, A_lo], [b_hi, b_lo],
+                                 [project_soc_unit] * 2, rho=1e1,
+                                 max_iter=100, threshold=1e-4)
+        return y_p.at[:, 0].add(-u_nom_cur.reshape(-1))
+
+    sls.reset()
+    sls.nominal_values = x_nom, u_nom
+    du1, phi1 = sls.isls_admm(n, arm.get_AB, project_u=project_u, rho_u=1e0,
+                              max_line_search=30, k_max=50, max_admm_iter=10,
+                              threshold=1e-4)
+    print(f"robust cost     {sls.cost:.4f}; MC success {mc_success(du1, phi1):.1f} % "
+          f"(reference 95.8 %)")
+
+
+if __name__ == "__main__":
+    main()

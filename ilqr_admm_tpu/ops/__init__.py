@@ -19,6 +19,10 @@ from ilqr_admm_tpu.ops.rollout import (
     rollout_sls,
     rollout_sls_delta,
 )
+from ilqr_admm_tpu.ops.parallel_riccati import (
+    lqt_backward_parallel,
+    rollout_closed_loop_parallel,
+)
 from ilqr_admm_tpu.ops.sls_synthesis import (
     causal_cholesky_factors,
     causal_trailing_solve,
@@ -33,6 +37,8 @@ __all__ = [
     "su_t_apply",
     "sw_x0",
     "lqt_backward",
+    "lqt_backward_parallel",
+    "rollout_closed_loop_parallel",
     "lqt_backward_ff",
     "ilqr_backward",
     "DPGains",

@@ -1,0 +1,181 @@
+"""Parallel (associative-scan) Riccati recursion — time-axis parallelism.
+
+The sequential Riccati backward pass is O(N) dependent steps. Following
+the temporal-parallelization of dynamic programming (Särkkä &
+García-Fernández; PAPERS.md "The Parallelization of Riccati Recursion"),
+the LQT value functions are computed with `lax.associative_scan` in
+O(log N) parallel depth: each element represents a *conditional* value
+function between two timesteps,
+
+    V(x, z) = min_u { cost } parametrized by (A, b, C, eta, J):
+    z = A x + b + C-dual,  value-at-x part (J, eta),
+
+and composition (eliminating the middle state) is associative:
+
+    M  = (I + C1 J2)^{-1}
+    A  = A2 M A1
+    b  = A2 M (b1 + C1 eta2) + b2
+    C  = A2 M C1 A2^T + C2
+    eta = A1^T M^T (eta2 - J2 b1) + eta1
+    J  = A1^T M^T J2 A1 + J1
+
+This is the genuine "sequence parallelism" of this problem domain
+(SURVEY §5): for long horizons / small batches the scan's O(N) latency is
+replaced by O(log N) rounds of batched d×d solves on the MXU.
+
+Produces the same `DPGains` as `riccati.lqt_backward` (value functions →
+per-step gain extraction is embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ilqr_admm_tpu.ops.riccati import DPGains
+
+
+def _combine(e1, e2):
+    """Associative composition of conditional-value-function elements.
+
+    e1 covers the earlier interval, e2 the later one (both pytrees of
+    stacked leading-batch arrays).
+    """
+    A1, b1, C1, eta1, J1 = e1
+    A2, b2, C2, eta2, J2 = e2
+    d = A1.shape[-1]
+    I = jnp.eye(d, dtype=A1.dtype)
+
+    # M = (I + C1 J2)^{-1}; solve instead of inverting.
+    M = jnp.linalg.solve(I + C1 @ J2, I)
+    A2M = A2 @ M
+    MT = jnp.swapaxes(M, -1, -2)
+    A1T = jnp.swapaxes(A1, -1, -2)
+
+    A = A2M @ A1
+    b = (A2M @ (b1[..., None] + C1 @ eta2[..., None]))[..., 0] + b2
+    C = A2M @ C1 @ jnp.swapaxes(A2, -1, -2) + C2
+    eta = (A1T @ MT @ (eta2[..., None] - J2 @ b1[..., None]))[..., 0] + eta1
+    J = A1T @ MT @ J2 @ A1 + J1
+    return (A, b, C, eta, J)
+
+
+_combine_v = jax.vmap(_combine)
+
+
+def _combine_rev(a, b):
+    """Operand-flipped combine for `associative_scan(..., reverse=True)`.
+
+    A reverse associative scan accumulates from the end, so the first
+    operand is the *later*-time block; `_combine` expects (earlier,
+    later).
+    """
+    return _combine_v(b, a)
+
+
+def lqt_backward_parallel(
+    A: jax.Array,
+    B: jax.Array,
+    Q: jax.Array,
+    xd: jax.Array,
+    R: jax.Array,
+    Qr: Optional[jax.Array] = None,
+    xr: Optional[jax.Array] = None,
+    Rr: Optional[jax.Array] = None,
+    ur: Optional[jax.Array] = None,
+) -> DPGains:
+    """LQT Riccati via associative scan. Same contract as `lqt_backward`."""
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+
+    zQr = jnp.zeros((N, d, d), dtype) if Qr is None else Qr
+    zxr = jnp.zeros((N, d), dtype) if xr is None else xr
+    zRr = jnp.zeros((N, m, m), dtype) if Rr is None else Rr
+    zur = jnp.zeros((N, m), dtype) if ur is None else ur
+
+    X = 2.0 * Q + 2.0 * zQr  # (N, d, d) state-cost Hessians
+    eta_all = 2.0 * jnp.einsum("tij,tj->ti", Q, xd) + 2.0 * jnp.einsum(
+        "tij,tj->ti", zQr, zxr
+    )
+    U = 2.0 * R + 2.0 * zRr  # (N, m, m) control-cost Hessians
+    s = 2.0 * jnp.einsum("tij,tj->ti", zRr, zur)  # linear control targets
+
+    # stage elements t = 0..N-2
+    Uinv_s = jnp.linalg.solve(U[:-1], s[:-1][..., None])[..., 0]
+    Uinv_BT = jnp.linalg.solve(U[:-1], jnp.swapaxes(B[:-1], -1, -2))
+    elem_A = A[:-1]
+    elem_b = jnp.einsum("tij,tj->ti", B[:-1], Uinv_s)
+    elem_C = B[:-1] @ Uinv_BT
+    elem_eta = eta_all[:-1]
+    elem_J = X[:-1]
+
+    # terminal element at index N-1
+    zero_d = jnp.zeros((1, d, d), dtype)
+    elems = (
+        jnp.concatenate([elem_A, zero_d], 0),
+        jnp.concatenate([elem_b, jnp.zeros((1, d), dtype)], 0),
+        jnp.concatenate([elem_C, zero_d], 0),
+        jnp.concatenate([elem_eta, eta_all[-1:]], 0),
+        jnp.concatenate([elem_J, X[-1:]], 0),
+    )
+
+    # inclusive reverse scan: result[t] = e_t ⊗ e_{t+1} ⊗ ... ⊗ e_{N-1}
+    scanned = lax.associative_scan(_combine_rev, elems, reverse=True)
+    J_all, eta_val = scanned[4], scanned[3]
+
+    # gain extraction from V_{t+1} = (J_{t+1}, eta_{t+1}); parallel over t
+    Jn = J_all[1:]  # (N-1, d, d)
+    etan = eta_val[1:]
+
+    def gains_one(At, Bt, Ut, st, Jt1, etat1):
+        Quu = Ut + Bt.T @ Jt1 @ Bt
+        Qux = Bt.T @ Jt1 @ At
+        qu = -st - Bt.T @ etat1
+        cf = cho_factor(0.5 * (Quu + Quu.T))
+        sol = -cho_solve(cf, jnp.concatenate([Qux, qu[:, None]], -1))
+        Quu_inv = cho_solve(cf, jnp.eye(Quu.shape[0], dtype=Quu.dtype))
+        return sol[:, :-1], sol[:, -1], Quu, Quu_inv, Qux
+
+    K, k, Quu, Quu_inv, Qux = jax.vmap(gains_one)(
+        A[:-1], B[:-1], U[:-1], s[:-1], Jn, etan
+    )
+
+    pad = lambda arr, tail: jnp.concatenate([arr, tail[None]], axis=0)
+    return DPGains(
+        K=pad(K, jnp.zeros((m, d), dtype)),
+        k=pad(k, jnp.zeros((m,), dtype)),
+        Quu=pad(Quu, jnp.zeros((m, m), dtype)),
+        Quu_inv=pad(Quu_inv, jnp.zeros((m, m), dtype)),
+        Qux=pad(Qux, jnp.zeros((m, d), dtype)),
+    )
+
+
+def rollout_closed_loop_parallel(A, B, K, k, x0):
+    """Closed-loop *linear* rollout via associative scan (O(log N) depth).
+
+    x_{t+1} = (A_t + B_t K_t) x_t + B_t k_t is an affine recurrence; the
+    prefix composition (M, v) ∘ (M', v') = (M' M, M' v + v') is
+    associative. Returns (xs (N, d), us (N, m)) like `rollout_closed_loop`
+    on linear dynamics — the time-parallel forward-pass counterpart of
+    `lqt_backward_parallel`.
+    """
+    N, d = A.shape[0], A.shape[-1]
+    Acl = A + B @ K  # (N, d, d)
+    bcl = jnp.einsum("tij,tj->ti", B, k)
+
+    def comb(a, b):
+        M1, v1 = a
+        M2, v2 = b
+        return M2 @ M1, jnp.einsum("tij,tj->ti", M2, v1) + v2
+
+    Ms, vs = lax.associative_scan(comb, (Acl, bcl))
+    # xs[0] = x0; xs[t] = Ms[t-1] x0 + vs[t-1]
+    xs_tail = jnp.einsum("tij,j->ti", Ms[:-1], x0) + vs[:-1]
+    xs = jnp.concatenate([x0[None], xs_tail], axis=0)
+    us = jnp.einsum("tij,tj->ti", K, xs) + k
+    return xs, us

@@ -1,3 +1,4 @@
+from ilqr_admm_tpu.utils.trajopt import TrajOpt
 from ilqr_admm_tpu.utils.cost_assembly import (
     find_mus,
     find_precs,
@@ -15,6 +16,7 @@ from ilqr_admm_tpu.utils.cost_assembly import (
 )
 
 __all__ = [
+    "TrajOpt",
     "find_mus",
     "find_precs",
     "get_double_integrator_AB",

@@ -1,0 +1,158 @@
+"""Host-side visualization utilities (matplotlib).
+
+Equivalents of the reference's plotting helpers (`isls/plot_utils.py`,
+`isls/utils.py:10-65`): planar-robot renderer, robot base, 2D car
+renderer with steerable wheels, rounded rectangles. Out of the solver hot
+path — convenience for examples and debugging.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import matplotlib.patches as mpatches
+    import matplotlib.pyplot as plt
+    from matplotlib.lines import Line2D
+    from matplotlib.transforms import Affine2D
+
+    HAS_MPL = True
+except Exception:  # pragma: no cover - headless environments
+    HAS_MPL = False
+
+
+def _require_mpl():
+    if not HAS_MPL:
+        raise ImportError("matplotlib is required for visualization")
+
+
+def plot_robot(xs, color="k", xlim=None, ax=None, ylim=None, robot_base=False, **kwargs):
+    """Draw a planar kinematic chain through joint positions xs (n, 2).
+
+    Mirrors the reference `plot_robot` (`utils.py:10-32`).
+    """
+    _require_mpl()
+    xs = np.asarray(xs)
+    if ax is None:
+        ax = plt.gca()
+    line = ax.plot(
+        xs[:, 0], xs[:, 1], marker="o", color=color, lw=10, mec="k", mfc="w",
+        solid_capstyle="round", **kwargs,
+    )
+    if robot_base:
+        plot_robot_base(xs[0], ax, ec="k", fc="k", sz=0.1, alpha=0.8, zorder=1)
+    ax.set_aspect("equal")
+    if xlim is not None:
+        ax.set_xlim(xlim)
+    if ylim is not None:
+        ax.set_ylim(ylim)
+    return line
+
+
+def plot_robot_base(p, ax, ec="k", fc="blue", sz=1.2, alpha=1.0, **kwargs):
+    """Draw a robot mounting base at point p (reference `utils.py:34-65`)."""
+    _require_mpl()
+    p = np.asarray(p)
+    nseg = 30
+    sz = sz * 1.2
+    th = np.linspace(0, np.pi, nseg - 2)
+    xs = np.concatenate([[sz * 1.5], sz * 1.5 * np.cos(th), [-sz * 1.5]])
+    ys = np.concatenate([[-sz * 1.2], sz * 1.5 * np.sin(th), [-sz * 1.2]])
+    poly = np.stack([xs + p[0], ys + p[1]], axis=-1)
+    ax.add_patch(mpatches.Polygon(poly, ec=ec, fc=fc, alpha=alpha, lw=3, **kwargs))
+    # hatching lines under the base
+    n_line, mult = 4, 1.2
+    x_top = np.linspace(-sz * mult, sz * mult, n_line) + p[0] + 0.04
+    x_bot = np.linspace(-sz * mult, sz * mult, n_line) + p[0] - 0.5 * sz
+    for i in range(n_line):
+        ax.add_line(
+            Line2D(
+                [x_top[i], x_bot[i]],
+                [p[1] - sz * mult + 0.05, p[1] - sz * mult - sz],
+                color=ec, alpha=alpha, lw=2,
+            )
+        )
+
+
+def rounded_rectangle(center, width, height, angle=0.0, radius=0.1, **kwargs):
+    """A rotated rounded-rectangle patch (reference `plot_utils` helper)."""
+    _require_mpl()
+    center = np.asarray(center)
+    rect = mpatches.FancyBboxPatch(
+        (center[0] - width / 2, center[1] - height / 2), width, height,
+        boxstyle=mpatches.BoxStyle("Round", pad=0, rounding_size=radius), **kwargs,
+    )
+    rect.set_transform(
+        Affine2D().rotate_deg_around(center[0], center[1], np.degrees(angle))
+        + plt.gca().transData
+    )
+    return rect
+
+
+def plot_car(x, u, width=0.9, length=2.1, bodycolor=(0.7, 0.7, 0.7), wheelcolor="k"):
+    """Car body + 4 wheels as patches for state x=[px, py, theta, v] and
+    control u=[steer, .] (reference `plot_utils.py:199-235`).
+
+    Returns a list of patches (add them to an axis; re-create per frame
+    for animation).
+    """
+    _require_mpl()
+    x = np.asarray(x)
+    px, py, th = float(x[0]), float(x[1]), float(x[2])
+    steer = float(np.asarray(u)[0]) if np.size(u) else 0.0
+
+    def rot(a):
+        return np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+
+    R = rot(th)
+    patches = []
+    body = mpatches.Rectangle(
+        (-length / 2, -width / 2), length, width, fc=bodycolor, ec="k", lw=1.5
+    )
+    body.set_transform(
+        Affine2D().rotate(th).translate(px, py) + plt.gca().transData
+    )
+    patches.append(body)
+
+    wheel_l, wheel_w = 0.45, 0.15
+    offsets = np.array(
+        [
+            [length * 0.32, width * 0.55],
+            [length * 0.32, -width * 0.55],
+            [-length * 0.32, width * 0.55],
+            [-length * 0.32, -width * 0.55],
+        ]
+    )
+    for i, off in enumerate(offsets):
+        ang = th + (steer if i < 2 else 0.0)  # front wheels steer
+        c = np.array([px, py]) + R @ off
+        w = mpatches.Rectangle(
+            (-wheel_l / 2, -wheel_w / 2), wheel_l, wheel_w, fc=wheelcolor, ec="k"
+        )
+        w.set_transform(Affine2D().rotate(ang).translate(*c) + plt.gca().transData)
+        patches.append(w)
+    return patches
+
+
+def plotArm(ax, lengths, q, base=(0.0, 0.0), color="b", **kwargs):
+    """Draw an n-link arm from joint angles (reference `plot_utils.py:143-154`)."""
+    _require_mpl()
+    lengths = np.asarray(lengths)
+    c = np.cumsum(np.asarray(q))
+    pts = [np.asarray(base, dtype=float)]
+    for li, ci in zip(lengths, c):
+        pts.append(pts[-1] + li * np.array([np.cos(ci), np.sin(ci)]))
+    pts = np.stack(pts)
+    return plot_robot(pts, color=color, ax=ax, **kwargs)
+
+
+def plot_convergence(cost_log, ax=None, **kwargs):
+    """Cost-vs-iteration convergence plot (every reference notebook)."""
+    _require_mpl()
+    if ax is None:
+        ax = plt.gca()
+    ax.plot(np.asarray(cost_log), marker=".", **kwargs)
+    ax.set_xlabel("# of iterations")
+    ax.set_ylabel("Cost")
+    ax.set_title("Convergence")
+    return ax

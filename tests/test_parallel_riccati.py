@@ -1,0 +1,96 @@
+"""Parallel (associative-scan) Riccati vs sequential scan equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+from ilqr_admm_tpu.ops.parallel_riccati import lqt_backward_parallel
+from ilqr_admm_tpu.ops.riccati import lqt_backward
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+
+def _random_lqt(rng, N=33, d=3, m=2):
+    A = jnp.asarray(rng.normal(size=(N, d, d)) * 0.3 + np.eye(d))
+    B = jnp.asarray(rng.normal(size=(N, d, m)) * 0.4)
+    Qh = rng.normal(size=(N, d, d)) * 0.3
+    Q = jnp.asarray(Qh @ Qh.transpose(0, 2, 1) + 0.1 * np.eye(d))
+    xd = jnp.asarray(rng.normal(size=(N, d)))
+    Rh = rng.normal(size=(N, m, m)) * 0.3
+    R = jnp.asarray(Rh @ Rh.transpose(0, 2, 1) + 0.5 * np.eye(m))
+    return A, B, Q, xd, R
+
+
+def test_parallel_matches_sequential(rng):
+    A, B, Q, xd, R = _random_lqt(rng)
+    g_seq = lqt_backward(A, B, Q, xd, R)
+    g_par = lqt_backward_parallel(A, B, Q, xd, R)
+    np.testing.assert_allclose(np.asarray(g_par.K), np.asarray(g_seq.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_par.k), np.asarray(g_seq.k), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_par.Quu), np.asarray(g_seq.Quu), atol=1e-8)
+
+
+def test_parallel_matches_sequential_with_regularizers(rng):
+    A, B, Q, xd, R = _random_lqt(rng, N=21)
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    Qr = jnp.asarray(np.tile(np.eye(d) * 0.4, (N, 1, 1)))
+    xr = jnp.asarray(rng.normal(size=(N, d)))
+    Rr = jnp.asarray(np.tile(np.eye(m) * 0.2, (N, 1, 1)))
+    ur = jnp.asarray(rng.normal(size=(N, m)))
+    g_seq = lqt_backward(A, B, Q, xd, R, Qr, xr, Rr, ur)
+    g_par = lqt_backward_parallel(A, B, Q, xd, R, Qr, xr, Rr, ur)
+    np.testing.assert_allclose(np.asarray(g_par.K), np.asarray(g_seq.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_par.k), np.asarray(g_seq.k), atol=1e-8)
+
+
+def test_parallel_on_benchmark_problem():
+    N = 100
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d = plant.x_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e6])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, plant.u_dim)
+    A, B = plant.AB(N)
+    g_seq = lqt_backward(A, B, cost.Q, cost.xd, cost.R)
+    g_par = lqt_backward_parallel(A, B, cost.Q, cost.xd, cost.R)
+    np.testing.assert_allclose(
+        np.asarray(g_par.K), np.asarray(g_seq.K), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_par.k), np.asarray(g_seq.k), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_parallel_rollout_matches_sequential(rng):
+    from ilqr_admm_tpu.ops.parallel_riccati import rollout_closed_loop_parallel
+    from ilqr_admm_tpu.ops.rollout import rollout_closed_loop
+
+    A, B, Q, xd, R = _random_lqt(rng, N=17)
+    g = lqt_backward(A, B, Q, xd, R)
+    x0 = jnp.asarray(rng.normal(size=A.shape[-1]))
+
+    A_np, B_np = np.asarray(A), np.asarray(B)
+
+    def lin_f(x, u):
+        # time-varying handled by closing over index is not possible in the
+        # scan helper; emulate with per-step (A, B) through a scan instead
+        raise NotImplementedError
+
+    # sequential oracle computed directly
+    xs_ref = [np.asarray(x0)]
+    us_ref = []
+    Kn, kn = np.asarray(g.K), np.asarray(g.k)
+    for t in range(A.shape[0] - 1):
+        u = Kn[t] @ xs_ref[-1] + kn[t]
+        us_ref.append(u)
+        xs_ref.append(A_np[t] @ xs_ref[-1] + B_np[t] @ u)
+    us_ref.append(Kn[-1] @ xs_ref[-1] + kn[-1])
+    xs_ref = np.stack(xs_ref)
+    us_ref = np.stack(us_ref)
+
+    xs, us = rollout_closed_loop_parallel(A, B, g.K, g.k, x0)
+    np.testing.assert_allclose(np.asarray(xs), xs_ref, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(us), us_ref, atol=1e-9)
