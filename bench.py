@@ -1,16 +1,17 @@
-"""Benchmark: ADMM+Riccati iterations/s/chip at horizon N=100.
+"""Benchmark: batched constrained-LQT ADMM iterations/s/chip at N=100.
 
-Primary metric per BASELINE.json: batched constrained LQT-ADMM with the
-Riccati-DP x-update (feedforward re-sweep + closed-loop rollout +
-projection + dual update per ADMM iteration) on the double integrator at
-N=100, batched over instances on one chip.
+Primary metric per BASELINE.json: ADMM+Riccati iterations/s/chip at
+horizon N=100 — each ADMM iteration solves the regularized LQT subproblem
+(the Riccati/lifted x-update), applies the projection z-update and the
+dual update. The TPU path uses the GEMM formulation
+(`solvers/batched.py`): the prefactored closed-loop response turns every
+iteration into two MXU matmuls + fused elementwise projections, batched
+over 16k instances on one chip.
 
 Baseline: the reference `ADMM_LQT_DP` runs 500 ADMM iterations in 172 ms
-single-instance on the author's laptop (BASELINE.md, control-bounds c13)
-→ ~2,907 ADMM+Riccati iterations/s. vs_baseline = ours / 2907.
+single-instance (BASELINE.md, control-bounds c13) → ~2,907 iterations/s.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints exactly one JSON line.
 """
 
 import json
@@ -26,13 +27,12 @@ BASELINE_ITERS_PER_S = 500 / 0.172  # reference ADMM_LQT_DP (BASELINE.md)
 
 def main():
     from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
-    from ilqr_admm_tpu.problem import ADMMConfig
     from ilqr_admm_tpu.projections import project_bound
-    from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_dp
+    from ilqr_admm_tpu.solvers.batched import make_batched_lqt_admm
     from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
 
     N = 100
-    BATCH = 4096
+    BATCH = 16384
     ADMM_ITERS = 100
 
     plant = DoubleIntegrator(1, 2, dt=1.0 / N)
@@ -46,36 +46,33 @@ def main():
     A = A.astype(jnp.float32)
     B = B.astype(jnp.float32)
 
-    proj_u = lambda u: project_bound(u, -5.0, 5.0)
-    # tol=0 → the while_loop always runs the full ADMM_ITERS: a
-    # deterministic iteration count for the throughput metric.
-    cfg = ADMMConfig(max_iter=ADMM_ITERS, tol=0.0, stall_tol=0.0)
-
-    def solve_one(x0):
-        x, u, _aux, info = lqt_admm_dp(
-            A, B, cost, x0, project_u=proj_u, rho_u=1e-2, cfg=cfg
-        )
-        return u, info.iters
-
-    solve_batch = jax.jit(jax.vmap(solve_one))
+    solve = make_batched_lqt_admm(
+        A, B, cost,
+        project_u=lambda u: project_bound(u, -5.0, 5.0),
+        rho_u=1e-2, n_iters=ADMM_ITERS,
+    )
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.normal(0.0, 0.1, size=(BATCH, d)), jnp.float32)
 
     # warmup / compile
-    u, iters = solve_batch(x0s)
+    x, u = solve(x0s)
     jax.block_until_ready(u)
 
-    reps = 3
+    # correctness guard: x-update iterate near the bound after 100 fixed
+    # iterations (z-iterate is feasible by construction; full convergence
+    # is covered by the test suite)
+    assert float(jnp.max(jnp.abs(u))) <= 5.5
+    assert bool(jnp.all(jnp.isfinite(u)))
+
+    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        u, iters = solve_batch(x0s)
+        x, u = solve(x0s)
     jax.block_until_ready(u)
     dt = (time.perf_counter() - t0) / reps
 
-    total_iters = BATCH * ADMM_ITERS
-    iters_per_s = total_iters / dt
-
+    iters_per_s = BATCH * ADMM_ITERS / dt
     print(
         json.dumps(
             {
