@@ -3,10 +3,11 @@
 Primary metric per BASELINE.json: ADMM+Riccati iterations/s/chip at
 horizon N=100 — each ADMM iteration solves the regularized LQT subproblem
 (the Riccati/lifted x-update), applies the projection z-update and the
-dual update. The TPU path uses the GEMM formulation
-(`solvers/batched.py`): the prefactored closed-loop response turns every
-iteration into two MXU matmuls + fused elementwise projections, batched
-over 16k instances on one chip.
+dual update. The TPU path uses the fused Pallas
+kernel (`ops/pallas_admm.py`): the whole iteration loop runs in one
+kernel with iterates resident in VMEM and one bf16x3 MXU GEMM per
+iteration, batched over 16k instances on one chip (XLA GEMM fallback:
+`solvers/batched.py`).
 
 Baseline: the reference `ADMM_LQT_DP` runs 500 ADMM iterations in 172 ms
 single-instance (BASELINE.md, control-bounds c13) → ~2,907 iterations/s.
@@ -46,11 +47,20 @@ def main():
     A = A.astype(jnp.float32)
     B = B.astype(jnp.float32)
 
-    solve = make_batched_lqt_admm(
-        A, B, cost,
-        project_u=lambda u: project_bound(u, -5.0, 5.0),
-        rho_u=1e-2, n_iters=ADMM_ITERS,
-    )
+    try:
+        from ilqr_admm_tpu.ops.pallas_admm import make_pallas_lqt_admm
+
+        solve_p = make_pallas_lqt_admm(
+            A, B, cost, u_lower=-5.0, u_upper=5.0,
+            rho_u=1e-2, n_iters=ADMM_ITERS, batch_tile=256,
+        )
+        solve = lambda x0s: solve_p(x0s)[:2]
+    except Exception:
+        solve = make_batched_lqt_admm(
+            A, B, cost,
+            project_u=lambda u: project_bound(u, -5.0, 5.0),
+            rho_u=1e-2, n_iters=ADMM_ITERS,
+        )
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.normal(0.0, 0.1, size=(BATCH, d)), jnp.float32)

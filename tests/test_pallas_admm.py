@@ -1,0 +1,74 @@
+"""Fused Pallas ADMM kernel vs the XLA GEMM path (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+from ilqr_admm_tpu.ops.pallas_admm import make_pallas_lqt_admm
+from ilqr_admm_tpu.projections import project_bound
+from ilqr_admm_tpu.solvers.batched import make_batched_lqt_admm
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+
+def _problem(N=40):
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d, m = plant.x_dim, plant.u_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])]).astype(jnp.float32)
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3]).astype(jnp.float32)
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, m)
+    A, B = plant.AB(N)
+    return plant, A.astype(jnp.float32), B.astype(jnp.float32), cost
+
+
+def test_pallas_u_only_matches_xla():
+    N = 40
+    plant, A, B, cost = _problem(N)
+    solve_p = make_pallas_lqt_admm(
+        A, B, cost, u_lower=-5.0, u_upper=5.0, rho_u=1e-2,
+        n_iters=50, batch_tile=8, interpret=True,
+    )
+    solve_x = make_batched_lqt_admm(
+        A, B, cost, project_u=lambda u: project_bound(u, -5.0, 5.0),
+        rho_u=1e-2, n_iters=50,
+    )
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(0, 0.1, size=(16, plant.x_dim)), jnp.float32)
+    x_p, u_p, _, zu = solve_p(x0s)
+    x_r, u_r = solve_x(x0s)
+    # same algorithm modulo warm-start choice and bf16x3 vs f32 matmuls:
+    # iterates agree to ADMM-tolerance scale
+    assert float(jnp.max(jnp.abs(u_p - u_r))) < 5e-2
+    assert float(jnp.max(jnp.abs(zu))) <= 5.0 + 1e-5  # z feasible by construction
+
+
+def test_pallas_xu_matches_xla():
+    N = 30
+    plant, A, B, cost = _problem(N)
+    d, m = plant.x_dim, plant.u_dim
+    rho_x = np.zeros((N, d, d), np.float32)
+    rho_x[:] = np.eye(d) * 1e-1
+
+    solve_p = make_pallas_lqt_admm(
+        A, B, cost, u_lower=-4.0, u_upper=4.0,
+        x_lower=-10.0, x_upper=0.9,
+        rho_x=jnp.asarray(rho_x), rho_u=1e-2,
+        n_iters=80, batch_tile=8, interpret=True,
+    )
+
+    def proj_x(x):
+        return jnp.clip(x, -10.0, 0.9)
+
+    solve_x = make_batched_lqt_admm(
+        A, B, cost, project_x=proj_x,
+        project_u=lambda u: project_bound(u, -4.0, 4.0),
+        rho_x=jnp.asarray(rho_x), rho_u=1e-2, n_iters=80,
+    )
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.normal(0, 0.1, size=(8, d)), jnp.float32)
+    x_p, u_p, zx, zu = solve_p(x0s)
+    x_r, u_r = solve_x(x0s)
+    assert float(jnp.max(jnp.abs(u_p - u_r))) < 5e-2
+    assert float(jnp.max(jnp.abs(x_p - x_r))) < 5e-2
