@@ -18,6 +18,7 @@ from ilqr_admm_tpu.solvers.ilqr import (
 )
 from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
 from ilqr_admm_tpu.solvers.isls_admm import isls_admm
+from ilqr_admm_tpu.solvers.batched import make_batched_lqt_admm
 
 __all__ = [
     "lqt_solve_batch",
@@ -38,4 +39,5 @@ __all__ = [
     "ilqr_solve",
     "ilqr_admm",
     "isls_admm",
+    "make_batched_lqt_admm",
 ]

@@ -38,7 +38,7 @@ class ILQRADMMResult(NamedTuple):
     cost_log: jax.Array  # (max_iter,) outer-iteration costs (inf beyond)
 
 
-def ilqr_admm(
+def _ilqr_admm_impl(
     f: Callable,
     get_AB: Callable,
     cost_fn: Callable,
@@ -169,3 +169,14 @@ def ilqr_admm(
     return ILQRADMMResult(
         x_nom=x_nom, u_nom=u_nom, cost=cost, outer_iters=it, status=status, cost_log=cost_log
     )
+
+
+def ilqr_admm(*args, **kwargs) -> ILQRADMMResult:
+    """See `_ilqr_admm_impl`. Traced under HIGHEST matmul precision —
+    the lifted solves are too ill-conditioned for the TPU's default
+    (bf16-pass) f32 matmuls (SURVEY §7 numerical-parity hard part)."""
+    with jax.default_matmul_precision("highest"):
+        return _ilqr_admm_impl(*args, **kwargs)
+
+
+ilqr_admm.__wrapped__ = _ilqr_admm_impl

@@ -37,7 +37,7 @@ class ISLSResult(NamedTuple):
     cost_log: jax.Array
 
 
-def isls_admm(
+def _isls_admm_impl(
     f: Callable,
     get_AB: Callable,
     cost_fn: Callable,
@@ -199,3 +199,13 @@ def isls_admm(
         du=du, phi_u=phi_u, x_nom=x_nom, u_nom=u_nom, cost=cost,
         outer_iters=it, status=status, cost_log=cost_log,
     )
+
+
+def isls_admm(*args, **kwargs) -> ISLSResult:
+    """See `_isls_admm_impl`. Traced under HIGHEST matmul precision (the
+    TPU default f32 matmul breaks the ill-conditioned lifted solves)."""
+    with jax.default_matmul_precision("highest"):
+        return _isls_admm_impl(*args, **kwargs)
+
+
+isls_admm.__wrapped__ = _isls_admm_impl

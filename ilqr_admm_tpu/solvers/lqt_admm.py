@@ -21,7 +21,7 @@ from ilqr_admm_tpu.solvers.admm import admm_solve
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
 
 
-def lqt_admm_batch(
+def _lqt_admm_batch_impl(
     A,
     B,
     cost: QuadCost,
@@ -85,7 +85,7 @@ def lqt_admm_batch(
     return x_x, x_u, info
 
 
-def lqt_admm_dp(
+def _lqt_admm_dp_impl(
     A,
     B,
     cost: QuadCost,
@@ -133,3 +133,15 @@ def lqt_admm_dp(
         f_argmin, project_x, project_u, (N * d,), (N * m,), cfg, dtype=dtype
     )
     return x_x, x_u, aux, info
+
+
+def lqt_admm_batch(*args, **kwargs):
+    """See `_lqt_admm_batch_impl` (HIGHEST matmul precision wrapper)."""
+    with jax.default_matmul_precision("highest"):
+        return _lqt_admm_batch_impl(*args, **kwargs)
+
+
+def lqt_admm_dp(*args, **kwargs):
+    """See `_lqt_admm_dp_impl` (HIGHEST matmul precision wrapper)."""
+    with jax.default_matmul_precision("highest"):
+        return _lqt_admm_dp_impl(*args, **kwargs)

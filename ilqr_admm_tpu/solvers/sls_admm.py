@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
@@ -22,7 +23,7 @@ from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
 from ilqr_admm_tpu.solvers.lqt import lqt_solve_sls
 
 
-def sls_admm(
+def _sls_admm_impl(
     A,
     B,
     cost: QuadCost,
@@ -99,3 +100,9 @@ def sls_admm(
     du = x_u[:, 0]
     phi_u = jnp.concatenate([x_u[:, 1 : p + 1], PHI_U_unc[:, p:]], axis=-1)
     return du, phi_u, info
+
+
+def sls_admm(*args, **kwargs):
+    """See `_sls_admm_impl` (HIGHEST matmul precision wrapper)."""
+    with jax.default_matmul_precision("highest"):
+        return _sls_admm_impl(*args, **kwargs)
