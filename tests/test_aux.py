@@ -94,3 +94,29 @@ def test_metrics_helpers():
         pass
     s = timer.summary()
     assert s["backward"]["count"] == 2
+
+
+def test_debug_guards():
+    import jax.numpy as jnp
+    from ilqr_admm_tpu.utils.debug import assert_finite, checked
+
+    assert_finite({"a": jnp.ones(3)}, "state")
+    with pytest.raises(FloatingPointError):
+        assert_finite({"a": jnp.asarray([1.0, jnp.nan])}, "state")
+
+    def bad(x):
+        return jnp.log(x)  # nan for negative input
+
+    f = checked(bad)
+    np.testing.assert_allclose(np.asarray(f(jnp.asarray(2.0))), np.log(2.0))
+    with pytest.raises(Exception):
+        f(jnp.asarray(-1.0))
+
+
+def test_distributed_helpers_single_host():
+    from ilqr_admm_tpu.parallel import distributed
+
+    assert distributed.initialize() is False  # single host: no-op
+    arr = np.arange(16).reshape(16, 1)
+    shard = distributed.host_shard(arr)
+    assert shard.shape[0] == 16  # one process owns everything
