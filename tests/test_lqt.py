@@ -23,7 +23,7 @@ from ilqr_admm_tpu.ops.rollout import rollout_closed_loop
 from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
 
 
-def make_di_problem(x_dim=1, N=100, u_std=1e-2, x_std=1e6, target=(1.0, 0.0)):
+def make_di_problem(x_dim=1, N=100, u_std=1e-2, x_std=1e6, target=(1.0, 0.0), **_kw):
     """The double-integrator control-bounds notebook setup (cells 3-6)."""
     plant = DoubleIntegrator(x_dim, 2, dt=1.0 / N)
     d = plant.x_dim
@@ -122,3 +122,65 @@ def test_dp_with_regularizer_matches_augmented_cost():
     # gradient w.r.t. u_{N-1} is not zero-forced by DP (final gains are 0),
     # so check all but the final step
     assert float(jnp.max(jnp.abs(g[: (N - 1) * m]))) < 1e-6
+
+
+def test_causal_trailing_solve_oracle(rng):
+    """Reversed-Cholesky trailing solves vs direct per-submatrix NumPy solves."""
+    from ilqr_admm_tpu.ops.sls_synthesis import (
+        causal_cholesky_factors,
+        causal_trailing_solve,
+    )
+
+    M = 24
+    H = rng.normal(size=(M, M))
+    S = jnp.asarray(H @ H.T + M * np.eye(M))
+    rhs = jnp.asarray(rng.normal(size=(5, M, 2)))
+    starts = jnp.asarray([0, 3, 7, 12, 23], dtype=jnp.int32)
+
+    Lr = causal_cholesky_factors(S)
+    out = np.asarray(causal_trailing_solve(Lr, rhs, starts))
+
+    S_np = np.asarray(S)
+    for i, s in enumerate([0, 3, 7, 12, 23]):
+        expected = np.zeros((M, 2))
+        expected[s:] = np.linalg.solve(S_np[s:, s:], np.asarray(rhs)[i, s:])
+        np.testing.assert_allclose(out[i], expected, atol=1e-10)
+        np.testing.assert_allclose(out[i, :s], 0.0)
+
+
+def test_vmapped_sls_admm():
+    """Robust synthesis vmaps over problem instances (scenario fleets)."""
+    from ilqr_admm_tpu.problem import ADMMConfig
+    from ilqr_admm_tpu.projections import project_soc_unit, project_set_convex
+    from ilqr_admm_tpu.solvers.sls_admm import sls_admm
+    from scipy.stats import norm
+
+    plant, A, B, cost = make_di_problem(x_std=1e3, u_std=1e-3, N=40)
+    N = 40
+    psi_inv = float(norm.ppf(0.9))
+    mu = np.array([1.0, 0.0])
+    Au = np.diag(np.sqrt([0.0, 0.01]))
+    A_hi = jnp.asarray(np.concatenate([Au, (-mu / psi_inv)[None]], 0))
+    A_lo = jnp.asarray(np.concatenate([Au, (mu / psi_inv)[None]], 0))
+
+    def solve_one(bound):
+        b_hi = jnp.concatenate([jnp.zeros(2), (bound / psi_inv)[None]])
+        b_lo = jnp.concatenate([jnp.zeros(2), (bound / psi_inv)[None]])
+
+        def proj_u(y):
+            return project_set_convex(
+                y, [A_hi, A_lo], [b_hi, b_lo], [project_soc_unit] * 2,
+                rho=1e1, max_iter=20, threshold=1e-2,
+            )
+
+        du, phi, info = sls_admm(
+            A, B, cost, project_u=proj_u, rho_u=1e1, robust_dim=1,
+            cfg=ADMMConfig(max_iter=30, tol=1e-3, stall_tol=1e-2),
+        )
+        return du, phi
+
+    bounds = jnp.asarray([3.0, 5.0, 8.0])
+    dus, phis = jax.vmap(solve_one)(bounds)
+    assert dus.shape == (3, N)
+    # tighter bound -> smaller feedforward peak
+    assert float(jnp.max(jnp.abs(dus[0]))) <= float(jnp.max(jnp.abs(dus[2]))) + 1e-6
