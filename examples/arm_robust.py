@@ -10,7 +10,6 @@ Run: python examples/arm_robust.py
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from scipy.stats import norm
 

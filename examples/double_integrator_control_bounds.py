@@ -10,7 +10,6 @@ Run: python examples/double_integrator_control_bounds.py [--plot]
 import argparse
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from scipy.stats import norm
 

@@ -61,7 +61,7 @@ def main(plot=False):
 
     if plot:
         import matplotlib.pyplot as plt
-        from ilqr_admm_tpu.viz import plot_car, plot_convergence
+        from ilqr_admm_tpu.viz import plot_convergence
         fig, ax = plt.subplots(ncols=2, figsize=(9, 4))
         xs = np.asarray(sls.x_nom)
         ax[0].plot(xs[:, 0], xs[:, 1])

@@ -16,25 +16,20 @@ us)` maps one trajectory to a scalar (the facade vmaps it over batches).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ilqr_admm_tpu.ops.lifted import build_Su, build_Sw, sw_x0
+from ilqr_admm_tpu.ops.lifted import build_Su, build_Sw
 from ilqr_admm_tpu.ops.riccati import quad_cost_model
 from ilqr_admm_tpu.ops.rollout import (
     rollout_closed_loop,
     rollout_nonlinear,
-    rollout_sls,
     rollout_sls_delta,
 )
-from ilqr_admm_tpu.problem import ADMMConfig, ILQRConfig, QuadCost, broadcast_AB
+from ilqr_admm_tpu.problem import ADMMConfig, broadcast_AB
 from ilqr_admm_tpu.solvers.ilqr import (
     ILQRState,
-    ilqr_init,
     ilqr_iterate_batch,
     ilqr_iterate_dp,
 )

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ilqr_admm_tpu.problem import ADMMConfig, ILQRConfig
-from ilqr_admm_tpu.solvers.ilqr import ILQRState, ilqr_init, ilqr_solve
+from ilqr_admm_tpu.solvers.ilqr import ilqr_init, ilqr_solve
 from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_dp
 
 

@@ -13,7 +13,6 @@ are independent batch points (the reference's `_batch` variants,
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-30

@@ -22,7 +22,7 @@ count is what a throughput benchmark and fleet solves want).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,13 +18,11 @@ All user functions are single-instance pure JAX:
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.scipy.linalg import cho_factor, cho_solve
-
 from ilqr_admm_tpu.ops.lifted import build_Su
 from ilqr_admm_tpu.ops.riccati import ilqr_backward
 from ilqr_admm_tpu.ops.rollout import rollout_closed_loop, rollout_nonlinear

@@ -6,8 +6,6 @@ Functional equivalents of the reference `SLS.solve_{batch,dp,sls}`
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve

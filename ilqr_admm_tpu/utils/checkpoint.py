@@ -9,7 +9,7 @@ orbax, falling back to a NumPy .npz archive when orbax is unavailable.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

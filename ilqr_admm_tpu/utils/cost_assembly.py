@@ -17,8 +17,6 @@ difference from the reference is that per-timestep costs stay stacked
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax.numpy as jnp
 import numpy as np
 

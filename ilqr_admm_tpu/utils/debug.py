@@ -16,7 +16,6 @@ from contextlib import contextmanager
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax.experimental import checkify
 
 
