@@ -1,5 +1,7 @@
 from ilqr_admm_tpu.solvers.lqt import (
     lqt_solve_batch,
+    lqt_solve_batch_full,
+    lqt_solve_sls_full,
     lqt_solve_dp,
     lqt_solve_sls,
     sls_controller,
@@ -19,9 +21,12 @@ from ilqr_admm_tpu.solvers.ilqr import (
 from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
 from ilqr_admm_tpu.solvers.isls_admm import isls_admm
 from ilqr_admm_tpu.solvers.batched import make_batched_lqt_admm
+from ilqr_admm_tpu.solvers.mpc import MPCState, make_mpc_step, mpc_init, run_mpc
 
 __all__ = [
     "lqt_solve_batch",
+    "lqt_solve_batch_full",
+    "lqt_solve_sls_full",
     "lqt_solve_dp",
     "lqt_solve_sls",
     "sls_controller",
@@ -40,4 +45,8 @@ __all__ = [
     "ilqr_admm",
     "isls_admm",
     "make_batched_lqt_admm",
+    "MPCState",
+    "make_mpc_step",
+    "mpc_init",
+    "run_mpc",
 ]

@@ -111,6 +111,39 @@ def lqt_solve_sls(A, B, cost: QuadCost):
     return sls_synthesize(eqs["l_side"], r_ff, r_fb, u_dim, x_dim)
 
 
+def lqt_solve_batch_full(A, B, Q_full, xd_full, R_full, x0):
+    """Batch LQT with a *dense lifted* cost (cross-timestep correlations).
+
+    Q_full: (N*d, N*d); xd_full: (N*d,); R_full: (N*m, N*m). The batch
+    and SLS methods support costs correlating different timesteps
+    (reference `sls.py:14-16` capability; per-step `QuadCost` is the
+    block-diagonal special case). Returns (xs (N,d), us (N,m)).
+    """
+    N, m = A.shape[0], B.shape[-1]
+    Su = build_Su(A, B)
+    SuTQ = Su.T @ Q_full
+    l_side = SuTQ @ Su + R_full
+    free = sw_x0(A, x0).reshape(-1)
+    r_side = SuTQ @ (xd_full - free)
+    u_opt = cho_solve(cho_factor(l_side), r_side)
+    x_opt = free + Su @ u_opt
+    return x_opt.reshape(N, -1), u_opt.reshape(N, m)
+
+
+def lqt_solve_sls_full(A, B, Q_full, xd_full, R_full):
+    """SLS synthesis with a dense lifted cost. Returns (PHI_U, du)."""
+    from ilqr_admm_tpu.ops.sls_synthesis import sls_synthesize as _synth
+
+    x_dim, u_dim = A.shape[-1], B.shape[-1]
+    Su = build_Su(A, B)
+    Sw = build_Sw(A)
+    SuTQ = Su.T @ Q_full
+    l_side = SuTQ @ Su + R_full
+    r_ff = SuTQ @ xd_full
+    r_fb = -SuTQ @ Sw
+    return _synth(l_side, r_ff, r_fb, u_dim, x_dim)
+
+
 def sls_controller(A, B, PHI_U, du):
     """Recover time-domain gains (K, k) from the response map.
 

@@ -184,3 +184,49 @@ def test_vmapped_sls_admm():
     assert dus.shape == (3, N)
     # tighter bound -> smaller feedforward peak
     assert float(jnp.max(jnp.abs(dus[0]))) <= float(jnp.max(jnp.abs(dus[2]))) + 1e-6
+
+
+def test_dense_cross_time_cost():
+    """Batch/SLS with a cost correlating different timesteps (smoothness).
+
+    Oracle: gradient of the full objective vanishes at the returned u.
+    """
+    from ilqr_admm_tpu.ops.rollout import rollout_linear
+    from ilqr_admm_tpu.solvers.lqt import lqt_solve_batch_full, lqt_solve_sls_full
+
+    N = 30
+    plant, A, B, cost = make_di_problem(N=N, x_std=1e2, u_std=1e-2)
+    d, m = plant.x_dim, plant.u_dim
+
+    # add a first-difference smoothness penalty coupling consecutive steps
+    D = np.zeros((N * d, N * d))
+    for t in range(N - 1):
+        D[t * d : (t + 1) * d, t * d : (t + 1) * d] = np.eye(d)
+        D[t * d : (t + 1) * d, (t + 1) * d : (t + 2) * d] = -np.eye(d)
+    Q_full = np.asarray(cost.lifted_Q()) + 5.0 * D.T @ D
+    xd_full = np.asarray(cost.lifted_xd())
+    R_full = np.asarray(cost.lifted_R())
+    # consistent target shift: keep the same linear term Q_lift @ xd by
+    # solving Q_full xd' = Q_lift xd (Q_full is PD here)
+    xd_full = np.linalg.solve(Q_full, np.asarray(cost.lifted_Q()) @ xd_full)
+
+    x0 = jnp.asarray([0.2, -0.1])
+    xs, us = lqt_solve_batch_full(
+        A, B, jnp.asarray(Q_full), jnp.asarray(xd_full), jnp.asarray(R_full), x0
+    )
+
+    def objective(u_flat):
+        us_ = u_flat.reshape(N, m)
+        xs_ = rollout_linear(A, B, x0, us_).reshape(-1)
+        dx = xs_ - jnp.asarray(xd_full)
+        return dx @ jnp.asarray(Q_full) @ dx + u_flat @ jnp.asarray(R_full) @ u_flat
+
+    g = jax.grad(objective)(jnp.asarray(us).reshape(-1))
+    assert float(jnp.max(jnp.abs(g))) < 1e-7
+
+    # SLS with the same dense cost: x0-response reproduces the batch optimum
+    PHI_U, du = lqt_solve_sls_full(
+        A, B, jnp.asarray(Q_full), jnp.asarray(xd_full), jnp.asarray(R_full)
+    )
+    u_sls = (PHI_U[:, :d] @ x0 + du).reshape(N, m)
+    np.testing.assert_allclose(np.asarray(u_sls), np.asarray(us), atol=1e-8)
