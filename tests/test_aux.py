@@ -120,3 +120,61 @@ def test_distributed_helpers_single_host():
     arr = np.arange(16).reshape(16, 1)
     shard = distributed.host_shard(arr)
     assert shard.shape[0] == 16  # one process owns everything
+
+
+def test_checkpoint_resume_admm(tmp_path):
+    """Checkpoint ADMM duals mid-solve and resume to the same fixed point."""
+    from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+    from ilqr_admm_tpu.problem import ADMMConfig
+    from ilqr_admm_tpu.projections import project_bound
+    from ilqr_admm_tpu.solvers.admm import admm_solve
+    from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
+    from ilqr_admm_tpu.ops.lifted import build_Su, sw_x0
+    from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    N = 50
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d, m = plant.x_dim, plant.u_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e4])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, m)
+    A, B = plant.AB(N)
+
+    Su = build_Su(A, B)
+    SuTQ = Su.T @ cost.lifted_Q()
+    l_side = SuTQ @ Su + cost.lifted_R()
+    Rr = block_diag_stacked(broadcast_rho(1e-2, m, N))
+    cf = cho_factor(l_side + Rr)
+    free = sw_x0(A, jnp.zeros(d)).reshape(-1)
+    r_side = SuTQ @ (cost.lifted_xd() - free)
+
+    def f_argmin(x, u):
+        r = r_side + (Rr @ u if u is not None else 0.0)
+        u_hat = cho_solve(cf, r)
+        return free + Su @ u_hat, u_hat
+
+    proj_u = lambda u: project_bound(u, -5.0, 5.0)
+    run = lambda iters, **kw: admm_solve(
+        f_argmin, None, proj_u, (N * d,), (N * m,),
+        ADMMConfig(max_iter=iters, tol=0.0, stall_tol=0.0), dtype=jnp.float64, **kw,
+    )
+
+    # 60 straight iterations
+    out_full = run(60)
+    u_full = out_full[1]
+
+    # 30 iterations, checkpoint duals/slacks, restore, 30 more
+    out_half = run(30)
+    state = {"z_u": out_half[6], "lmb_u": out_half[4]}
+    from ilqr_admm_tpu.utils.checkpoint import restore_state, save_state
+
+    path = save_state(str(tmp_path / "admm_state"), state)
+    restored = restore_state(path, state)
+    out_resumed = run(30, z_u_init=restored["z_u"], lmb_u_init=restored["lmb_u"])
+
+    np.testing.assert_allclose(
+        np.asarray(out_resumed[1]), np.asarray(u_full), atol=1e-12
+    )
