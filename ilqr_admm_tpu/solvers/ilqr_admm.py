@@ -57,8 +57,22 @@ def _ilqr_admm_impl(
     tol: float = 1e-3,
     outer_tol: float = 1e-3,
     osc_tol: float = 1e-3,
+    method: str = "batch",
 ) -> ILQRADMMResult:
-    """Run constrained iLQR-ADMM from a nominal trajectory guess."""
+    """Run constrained iLQR-ADMM from a nominal trajectory guess.
+
+    method='batch': lifted least-squares x-update (reference behavior).
+    method='dp': Riccati x-update with closed-loop line search — O(N)
+    memory (no dense lifted matrices), the solution the reference left
+    as "TODO: add dp solution" (`isls.py:411`). Preferred for long
+    horizons.
+    """
+    if method == "dp":
+        return _ilqr_admm_dp(
+            f, get_AB, cost_fn, x_nom0, u_nom0, get_Cs, quad_cost,
+            project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
+            alphas, alpha, tol, outer_tol, osc_tol,
+        )
     N, d = x_nom0.shape
     m = u_nom0.shape[-1]
     dtype = x_nom0.dtype
@@ -126,6 +140,114 @@ def _ilqr_admm_impl(
             if Rr_l is not None and u is not None:
                 du_ = us_c.reshape(len(alphas), -1) - u
                 costs = costs + jnp.einsum("ai,ij,aj->a", du_, Rr_l, du_)
+            ind = jnp.argmin(costs)
+            return xs_c[ind].reshape(-1), us_c[ind].reshape(-1)
+
+        x_x, x_u, _, l_x_n, l_u_n, z_x_n, z_u_n, _info = admm_solve(
+            f_argmin, project_x, project_u, (N * d,), (N * m,), admm_cfg,
+            z_x_init=z_x, z_u_init=z_u, lmb_x_init=l_x, lmb_u_init=l_u, dtype=dtype,
+        )
+
+        x_new = x_x.reshape(N, d)
+        u_new = x_u.reshape(N, m)
+        cost_new = cost_fn(x_new, u_new)
+        cost_log = cost_log.at[it].set(cost_new)
+
+        converged = jnp.abs(cost_new - cost) < outer_tol
+        recent = lax.dynamic_slice(
+            jnp.concatenate([jnp.full((8,), jnp.inf, dtype), cost_log]), (it + 1,), (8,)
+        )
+        osc = jnp.abs(jnp.mean(recent[4:]) - jnp.mean(recent[:4])) < osc_tol
+        status_new = jnp.where(
+            converged,
+            SolveStatus.CONVERGED,
+            jnp.where(osc, SolveStatus.OSCILLATING, SolveStatus.RUNNING),
+        ).astype(jnp.int32)
+        return (x_new, u_new, cost_new, it + 1, status_new, z_x_n, z_u_n, l_x_n, l_u_n, cost_log)
+
+    def outer_cond(carry):
+        _, _, _, it, status, *_ = carry
+        return jnp.logical_and(it < max_iter, status == SolveStatus.RUNNING)
+
+    cost0 = cost_fn(x_nom0, u_nom0)
+    carry0 = (
+        x_nom0, u_nom0, cost0, jnp.int32(0), jnp.int32(SolveStatus.RUNNING),
+        jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+        jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+        jnp.full((max_iter,), jnp.inf, dtype),
+    )
+    x_nom, u_nom, cost, it, status, *_rest, cost_log = lax.while_loop(
+        outer_cond, outer_body, carry0
+    )
+    status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status).astype(jnp.int32)
+    return ILQRADMMResult(
+        x_nom=x_nom, u_nom=u_nom, cost=cost, outer_iters=it, status=status, cost_log=cost_log
+    )
+
+
+def _ilqr_admm_dp(
+    f, get_AB, cost_fn, x_nom0, u_nom0, get_Cs, quad_cost,
+    project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
+    alphas, alpha, tol, outer_tol, osc_tol,
+) -> ILQRADMMResult:
+    """DP (Riccati) x-update iLQR-ADMM — scan-based, O(N) memory."""
+    from ilqr_admm_tpu.ops.riccati import ilqr_backward, quad_cost_model
+    from ilqr_admm_tpu.ops.rollout import rollout_closed_loop
+
+    N, d = x_nom0.shape
+    m = u_nom0.shape[-1]
+    dtype = x_nom0.dtype
+    if alphas is None:
+        alphas = 10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=dtype)[:20]
+
+    Qr = broadcast_rho(rho_x, d, N, dtype)
+    Rr = broadcast_rho(rho_u, m, N, dtype)
+    has_x = project_x is not None and Qr is not None
+    has_u = project_u is not None and Rr is not None
+
+    admm_cfg = ADMMConfig(max_iter=max_admm_iter, alpha=alpha, tol=tol)
+
+    def get_model(x_nom, u_nom):
+        if get_Cs is not None:
+            return get_Cs(x_nom, u_nom)
+        return quad_cost_model(quad_cost.Q, quad_cost.xd, quad_cost.R, x_nom, u_nom)
+
+    def outer_body(carry):
+        x_nom, u_nom, cost, it, status, z_x, z_u, l_x, l_u, cost_log = carry
+        A, B = get_AB(x_nom, u_nom)
+        cts, Cts = get_model(x_nom, u_nom)
+
+        def f_argmin(x, u):
+            # augment the quadratic model with the ADMM penalties
+            # (delta coordinates around the nominal)
+            cts_a, Cts_a = cts, Cts
+            if has_x and x is not None:
+                xr = x.reshape(N, d)
+                cts_a = cts_a.at[:, :d].add(
+                    2.0 * jnp.einsum("tij,tj->ti", Qr, x_nom - xr)
+                )
+                Cts_a = Cts_a.at[:, :d, :d].add(2.0 * Qr)
+            if has_u and u is not None:
+                ur = u.reshape(N, m)
+                cts_a = cts_a.at[:, d:].add(
+                    2.0 * jnp.einsum("tij,tj->ti", Rr, u_nom - ur)
+                )
+                Cts_a = Cts_a.at[:, d:, d:].add(2.0 * Rr)
+
+            K, k = ilqr_backward(A, B, Cts_a, cts_a)
+
+            def rollout_alpha(a):
+                return rollout_closed_loop(f, x_nom[0], K, a * k, x_nom, u_nom)
+
+            xs_c, us_c = jax.vmap(rollout_alpha)(alphas)
+            costs = jax.vmap(cost_fn)(xs_c, us_c)
+            costs = jnp.where(jnp.isnan(costs), 1e5, costs)
+            if has_x and x is not None:
+                dx = xs_c - x.reshape(N, d)
+                costs = costs + jnp.einsum("ati,tij,atj->a", dx, Qr, dx)
+            if has_u and u is not None:
+                du_ = us_c - u.reshape(N, m)
+                costs = costs + jnp.einsum("ati,tij,atj->a", du_, Rr, du_)
             ind = jnp.argmin(costs)
             return xs_c[ind].reshape(-1), us_c[ind].reshape(-1)
 

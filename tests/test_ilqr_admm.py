@@ -108,3 +108,40 @@ def test_arm_state_control_bounds():
     assert float(res.cost) < 0.35, float(res.cost)
     # constrained >= unconstrained optimum (~0.047 here)
     assert float(res.cost) > 0.04
+
+
+def test_dp_method_matches_batch_method():
+    """DP x-update iLQR-ADMM (the reference's TODO) agrees with batch."""
+    from ilqr_admm_tpu.models.arm import PlanarArm
+
+    N = 60
+    arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N)
+    d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
+    x_std, u_std = 1e4, 1e-4
+    target = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 1.0, 0.0])
+    w = jnp.asarray([0.0] * n + [x_std] * n + [0.0, x_std, 0.0])
+    zs = jnp.stack([jnp.zeros(d), target])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.diag(w)])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, u_std, m)
+
+    x0 = arm.initial_state(jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4]))
+    u0 = jnp.ones((N, m))
+    x_nom0 = rollout_nonlinear(arm.step, x0, u0)
+
+    def proj_u(u):
+        return jnp.clip(u, -6.0, 6.0)
+
+    kw = dict(
+        quad_cost=quad, project_u=proj_u, rho_u=1e-3,
+        max_iter=10, max_admm_iter=8,
+        alphas=10.0 ** jnp.linspace(0.0, -5.0, 50)[:8], tol=1e-4,
+    )
+    res_b = ilqr_admm(arm.step, arm.get_AB, quad, x_nom0, u0, method="batch", **kw)
+    res_d = ilqr_admm(arm.step, arm.get_AB, quad, x_nom0, u0, method="dp", **kw)
+
+    cb, cd = float(res_b.cost), float(res_d.cost)
+    assert abs(cb - cd) < 0.1 * max(abs(cb), 1e-9), (cb, cd)
+    # both satisfy the bound
+    assert float(jnp.max(jnp.abs(res_d.u_nom))) <= 6.0 + 0.1
