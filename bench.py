@@ -16,7 +16,15 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
+
+# persistent compilation cache: the driver's bench run reuses the
+# binaries compiled during development instead of recompiling (~minutes)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 import numpy as np
 import jax
@@ -52,7 +60,7 @@ def main():
 
         solve_p = make_pallas_lqt_admm(
             A, B, cost, u_lower=-5.0, u_upper=5.0,
-            rho_u=1e-2, n_iters=ADMM_ITERS, batch_tile=256,
+            rho_u=1e-2, n_iters=ADMM_ITERS, batch_tile=512,
         )
         solve = lambda x0s: solve_p(x0s)[:2]
     except Exception:

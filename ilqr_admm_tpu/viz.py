@@ -146,6 +146,48 @@ def plotArm(ax, lengths, q, base=(0.0, 0.0), color="b", **kwargs):
     return plot_robot(pts, color=color, ax=ax, **kwargs)
 
 
+def twist(obj, x, y, theta=0.0):
+    """Apply a rigid-body transform to a patch (reference `plot_utils.py:189`)."""
+    _require_mpl()
+    obj.set_transform(
+        Affine2D().rotate(theta).translate(x, y) + plt.gca().transData
+    )
+    return obj
+
+
+def plot_planar_axis(ax, p):
+    """Draw a small planar coordinate frame at pose p = [x, y, theta]."""
+    _require_mpl()
+    x, y, th = float(p[0]), float(p[1]), float(p[2])
+    L = 0.3
+    ax.annotate("", xy=(x + L * np.cos(th), y + L * np.sin(th)), xytext=(x, y),
+                arrowprops=dict(arrowstyle="->", color="r"))
+    ax.annotate("", xy=(x - L * np.sin(th), y + L * np.cos(th)), xytext=(x, y),
+                arrowprops=dict(arrowstyle="->", color="g"))
+
+
+def plotArmLink(ax, angle, length, start, sz=0.1, facecol="gray", edgecol="k",
+                alpha=1.0, zorder=1):
+    """Rounded-capsule rendering of one arm link (reference `plot_utils.py:82`)."""
+    _require_mpl()
+    start = np.asarray(start, dtype=float)
+    end = start + length * np.array([np.cos(angle), np.sin(angle)])
+    body = mpatches.FancyBboxPatch(
+        (0, -sz / 2), length, sz,
+        boxstyle=mpatches.BoxStyle("Round", pad=0, rounding_size=sz / 2),
+        fc=facecol, ec=edgecol, alpha=alpha, zorder=zorder,
+    )
+    body.set_transform(Affine2D().rotate(angle).translate(*start) + ax.transData)
+    ax.add_patch(body)
+    return end
+
+
+def plotArmBasis(ax, p, sz=0.1, facecol="gray", edgecol="k", alpha=1.0, zorder=1):
+    """Arm mounting basis (reference `plot_utils.py:124`)."""
+    plot_robot_base(np.asarray(p, dtype=float), ax, ec=edgecol, fc=facecol,
+                    sz=sz, alpha=alpha, zorder=zorder)
+
+
 def plot_convergence(cost_log, ax=None, **kwargs):
     """Cost-vs-iteration convergence plot (every reference notebook)."""
     _require_mpl()
