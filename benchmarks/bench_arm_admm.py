@@ -25,7 +25,7 @@ from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
 BASELINE_SOLVES_PER_S = 1.0 / 0.639  # reference ilqr_admm, 3DoF arm
 
 
-def main(batch=1024):
+def main(batch=1024, method="batch"):
     N = 100
     arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N)
     d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
@@ -51,6 +51,7 @@ def main(batch=1024):
             arm.step, arm.get_AB, quad, x_nom0, u0,
             quad_cost=quad, project_u=proj_u, rho_u=1e-3,
             max_iter=5, max_admm_iter=10, alphas=alphas, tol=1e-4,
+            method=method,
         )
         return res.cost, res.u_nom
 
@@ -79,4 +80,5 @@ def main(batch=1024):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(method=sys.argv[1] if len(sys.argv) > 1 else "batch")

@@ -53,11 +53,18 @@ def make_batched_lqt_admm(
     rho_u=None,
     n_iters: int = 100,
     alpha: float = 1.0,
+    tol: float = 0.0,
 ):
     """Build a jitted batched constrained-LQT ADMM solver.
 
     project_x / project_u operate on flattened (batch, N*dim) arrays.
     Returns solve(x0s (batch, d)) -> (x (batch, N*d), u (batch, N*m)).
+
+    tol = 0 runs exactly n_iters (deterministic count, the benchmark
+    mode). tol > 0 adds per-instance early stopping: converged instances
+    freeze while the while_loop continues until every instance converges
+    or the cap is hit — the SPMD analogue of per-instance residual
+    stopping (reference `admm.py:72-85`).
     """
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
@@ -101,8 +108,7 @@ def make_batched_lqt_admm(
         l_x = jnp.zeros_like(z_x)
         l_u = jnp.zeros_like(z_u)
 
-        def body(carry, _):
-            z_x, z_u, l_x, l_u, x, u = carry
+        def iteration(z_x, z_u, l_x, l_u):
             r = r_base
             if SuTQr is not None:
                 # reg target is absolute x; operator pullback uses (x_reg - free)
@@ -112,20 +118,57 @@ def make_batched_lqt_admm(
             u_hat = _mm(r, l_inv.T)  # (batch, N*m) GEMM
             x_hat = free + _mm(u_hat, Su.T)  # (batch, N*d) GEMM
 
+            prim = jnp.zeros(u_hat.shape[0], u_hat.dtype)
+            dual = jnp.zeros_like(prim)
             if has_x:
                 z_rel = alpha * x_hat + (1.0 - alpha) * z_x
                 z_x_new = project_x(z_rel + l_x)
                 l_x = l_x + x_hat - z_x_new
+                prim = prim + jnp.linalg.norm(x_hat - z_x_new, axis=-1)
+                dual = dual + jnp.linalg.norm(z_x_new - z_x, axis=-1)
                 z_x = z_x_new
             if has_u:
                 z_rel = alpha * u_hat + (1.0 - alpha) * z_u
                 z_u_new = project_u(z_rel + l_u)
                 l_u = l_u + u_hat - z_u_new
+                prim = prim + jnp.linalg.norm(u_hat - z_u_new, axis=-1)
+                dual = dual + jnp.linalg.norm(z_u_new - z_u, axis=-1)
                 z_u = z_u_new
-            return (z_x, z_u, l_x, l_u, x_hat, u_hat), None
+            return z_x, z_u, l_x, l_u, x_hat, u_hat, prim, dual
 
         init = (z_x, z_u, l_x, l_u, z_x, z_u)
-        (z_x, z_u, l_x, l_u, x, u), _ = lax.scan(body, init, None, length=n_iters)
+
+        if tol <= 0.0:
+            def body(carry, _):
+                z_x, z_u, l_x, l_u, x, u = carry
+                z_x, z_u, l_x, l_u, x, u, _, _ = iteration(z_x, z_u, l_x, l_u)
+                return (z_x, z_u, l_x, l_u, x, u), None
+
+            (z_x, z_u, l_x, l_u, x, u), _ = lax.scan(body, init, None, length=n_iters)
+            return x, u
+
+        # per-instance early stopping: frozen instances keep their iterates
+        done0 = jnp.zeros(x0s.shape[0], bool)
+
+        def cond(state):
+            it, done, *_ = state
+            return jnp.logical_and(it < n_iters, jnp.logical_not(jnp.all(done)))
+
+        def wbody(state):
+            it, done, z_x, z_u, l_x, l_u, x, u = state
+            nz_x, nz_u, nl_x, nl_u, nx, nu, prim, dual = iteration(z_x, z_u, l_x, l_u)
+            keep = done[:, None]
+            z_x = jnp.where(keep, z_x, nz_x)
+            z_u = jnp.where(keep, z_u, nz_u)
+            l_x = jnp.where(keep, l_x, nl_x)
+            l_u = jnp.where(keep, l_u, nl_u)
+            x = jnp.where(keep, x, nx)
+            u = jnp.where(keep, u, nu)
+            done = jnp.logical_or(done, jnp.logical_and(prim < tol, dual < tol))
+            return (it + 1, done, z_x, z_u, l_x, l_u, x, u)
+
+        state = (jnp.int32(0), done0) + init
+        _, done, z_x, z_u, l_x, l_u, x, u = lax.while_loop(cond, wbody, state)
         return x, u
 
     return jax.jit(solve)

@@ -74,3 +74,35 @@ def test_batched_with_state_projection():
     assert np.abs(xs_[:, -1, 0] - 0.5).max() < 2e-2
     assert np.abs(xs_[:, -1, 1]).max() < 2e-2
     assert np.abs(np.asarray(us)).max() <= 3.0 + 1e-2
+
+
+def test_early_stopping_matches_fixed_count():
+    """tol>0 freezes converged instances; hard instances match fixed-count."""
+    N = 60
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d, m = plant.x_dim, plant.u_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e4])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, m)
+    A, B = plant.AB(N)
+
+    proj = lambda u: project_bound(u, -5.0, 5.0)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.normal(0, 0.2, size=(16, d)))
+
+    solve_fixed = make_batched_lqt_admm(A, B, cost, project_u=proj, rho_u=1e-2,
+                                        n_iters=200)
+    solve_early = make_batched_lqt_admm(A, B, cost, project_u=proj, rho_u=1e-2,
+                                        n_iters=200, tol=1e-8)
+    xf, uf = solve_fixed(x0s)
+    xe, ue = solve_early(x0s)
+    # both reach the same optimum (early stop at very tight tol)
+    np.testing.assert_allclose(np.asarray(ue), np.asarray(uf), atol=1e-6)
+
+    # loose tol: iterates are feasible-ish and close to the tight solution
+    solve_loose = make_batched_lqt_admm(A, B, cost, project_u=proj, rho_u=1e-2,
+                                        n_iters=200, tol=1e-3)
+    xl, ul = solve_loose(x0s)
+    assert float(jnp.max(jnp.abs(ul - uf))) < 0.05
