@@ -1,0 +1,270 @@
+"""Head-to-head harness: reproduce every BASELINE.md row and time it.
+
+Runs the reference's benchmark configurations single-instance (wall-clock
+apples-to-apples with the laptop NumPy numbers in BASELINE.md) plus the
+batched-throughput headline, and writes `benchmarks/HEADTOHEAD.md` and
+`benchmarks/headtohead.json`.
+
+Run: python benchmarks/run_all.py            (current backend)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+RESULTS = []
+
+
+def timed(name, ref_ms, fn, oracle=None, reps=3):
+    """Warmup + best-of timing; records (ours_ms, ref_ms, oracle note)."""
+    out = fn()
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    ms = min(ts) * 1e3
+    note = oracle(out) if oracle else ""
+    RESULTS.append(dict(name=name, ours_ms=round(ms, 2), ref_ms=ref_ms,
+                        speedup=round(ref_ms / ms, 2), oracle=note))
+    print(f"{name}: {ms:.2f} ms (ref {ref_ms} ms, {ref_ms/ms:.1f}x)  {note}")
+    return out
+
+
+def di_cost(N, d, x_std, u_std, target):
+    from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray(target)]).astype(jnp.float32)
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * x_std]).astype(jnp.float32)
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    return viapoint_cost(zs, Qs, seq, u_std, d // 2)
+
+
+def main():
+    from ilqr_admm_tpu.models.car import CarFrontWheel, CarParkingCost
+    from ilqr_admm_tpu.models.arm import PlanarArm
+    from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+    from ilqr_admm_tpu.ops.lifted import build_Su, build_Sw
+    from ilqr_admm_tpu.ops.riccati import quad_cost_model
+    from ilqr_admm_tpu.ops.rollout import rollout_nonlinear
+    from ilqr_admm_tpu.problem import ADMMConfig, ILQRConfig
+    from ilqr_admm_tpu.projections import project_bound
+    from ilqr_admm_tpu.solvers.batched import make_batched_lqt_admm
+    from ilqr_admm_tpu.solvers.ilqr import ilqr_init, ilqr_solve
+    from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
+    from ilqr_admm_tpu.solvers.lqt import lqt_solve_batch, lqt_solve_dp
+    from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_batch, lqt_admm_dp
+    from ilqr_admm_tpu.solvers.sls_admm import sls_admm
+    from ilqr_admm_tpu.utils.cost_assembly import get_double_integrator_AB, viapoint_cost
+
+    backend = jax.default_backend()
+    print(f"backend: {backend}; devices: {jax.devices()}")
+    f32 = jnp.float32
+
+    # ---- 1. lifted-operator build, N=100 d=2 (ref 3-23 ms)
+    N = 100
+    di1 = DoubleIntegrator(1, 2, dt=0.01)
+    A1, B1 = di1.AB(N)
+    A1, B1 = A1.astype(f32), B1.astype(f32)
+    build = jax.jit(lambda: (build_Sw(A1), build_Su(A1, B1)))
+    timed("lifted operator build (N=100, d=2)", 23.0, build)
+
+    # ---- 2. LQT solve dp+batch, N=100 d=4 (ref 58 ms)
+    di2 = DoubleIntegrator(2, 2, dt=0.01)
+    A2, B2 = di2.AB(N)
+    A2, B2 = A2.astype(f32), B2.astype(f32)
+    cost2 = di_cost(N, 4, 1e3, 1e-4, [1.0, 1.0, 0.0, 0.0])
+    x0_4 = jnp.zeros(4, f32)
+    both = jax.jit(
+        lambda: (lqt_solve_dp(A2, B2, cost2).K, lqt_solve_batch(A2, B2, cost2, x0_4)[1])
+    )
+    timed("LQT solve dp+batch (N=100, d=4)", 58.0, both)
+
+    # ---- 3/4. ADMM_LQT control bounds (ref 51 / 172 ms)
+    cost1 = di_cost(N, 2, 1e6, 1e-2, [1.0, 0.0])
+    x0_2 = jnp.zeros(2, f32)
+    proj_u = lambda u: project_bound(u, -5.0, 5.0)
+    cfg_b = ADMMConfig(max_iter=100, tol=1e-4)
+    admm_b = jax.jit(
+        lambda: lqt_admm_batch(A1, B1, cost1, x0_2, project_u=proj_u, rho_u=1e-2,
+                               cfg=cfg_b)[1]
+    )
+    u_b = timed(
+        "ADMM_LQT_Batch control bounds", 51.0, admm_b,
+        oracle=lambda u: f"max|u|={float(jnp.max(jnp.abs(u))):.5f} (bound 5)",
+    )
+    cfg_d = ADMMConfig(max_iter=500, tol=1e-4)
+    admm_d = jax.jit(
+        lambda: lqt_admm_dp(A1, B1, cost1, x0_2, project_u=proj_u, rho_u=1e-1,
+                            cfg=cfg_d)[1]
+    )
+    timed("ADMM_LQT_DP control bounds", 172.0, admm_d,
+          oracle=lambda u: f"max|u|={float(jnp.max(jnp.abs(u))):.4f}")
+
+    # ---- 5. robust SLS-ADMM control bounds (ref 207 ms)
+    from scipy.stats import norm
+    from ilqr_admm_tpu.projections import project_set_convex, project_soc_unit
+
+    psi_inv = float(norm.ppf(0.95))
+    mu = np.array([1.0, 0.0])
+    Au = np.diag(np.sqrt([0.0, 0.01]))
+    A_hi = jnp.asarray(np.concatenate([Au, (-mu / psi_inv)[None]], 0), f32)
+    b_hi = jnp.asarray(np.append(np.zeros(2), 5.0 / psi_inv), f32)
+    A_lo = jnp.asarray(np.concatenate([Au, (mu / psi_inv)[None]], 0), f32)
+    b_lo = jnp.asarray(np.append(np.zeros(2), 5.0 / psi_inv), f32)
+
+    def proj_u_rob(y):
+        return project_set_convex(y, [A_hi, A_lo], [b_hi, b_lo],
+                                  [project_soc_unit] * 2, rho=1e1,
+                                  max_iter=100, threshold=1e-3)
+
+    sls_fn = jax.jit(
+        lambda: sls_admm(A1, B1, cost1, project_u=proj_u_rob, rho_u=1e2,
+                         robust_dim=1,
+                         cfg=ADMMConfig(max_iter=50, tol=1e-3, stall_tol=1e-2))[0]
+    )
+    timed("ADMM_SLS robust control bounds", 207.0, sls_fn)
+
+    # ---- 6. iLQR car parking, N=500 (ref 3580 ms)
+    Ncar = 500
+    car = CarFrontWheel(dt=15.0 / Ncar)
+    ccost = CarParkingCost()
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.normal(size=(Ncar, 2)) * 0.1, f32)
+    x0c = jnp.asarray([1.0, 1.0, 3 * np.pi / 2, 0.0], f32)
+    cfg_i = ILQRConfig(max_iter=100, max_line_search_iter=40)
+
+    def car_solve():
+        with jax.default_matmul_precision("highest"):
+            s0 = ilqr_init(car.step, ccost, x0c, u0)
+            return ilqr_solve(car.step, car.get_AB, ccost.get_Cs, ccost, s0, cfg_i).cost
+
+    car_fn = jax.jit(car_solve)
+    timed("iLQR car parking (N=500)", 3580.0, car_fn,
+          oracle=lambda c: f"cost={float(c):.4f} (ref 0.9283)", reps=2)
+
+    # ---- 7. ilqr_admm car control bounds (ref 17400 ms)
+    lo = jnp.asarray([-0.5, -2.0], f32)
+    hi = jnp.asarray([0.5, 2.0], f32)
+
+    def proj_uc(u):
+        return jnp.clip(u.reshape(Ncar, 2), lo, hi).reshape(-1)
+
+    x_nom_c = rollout_nonlinear(car.step, x0c, u0)
+
+    car_admm = jax.jit(
+        lambda: ilqr_admm(
+            car.step, car.get_AB, ccost, x_nom_c, u0, get_Cs=ccost.get_Cs,
+            project_u=proj_uc, rho_u=jnp.diag(jnp.asarray([1e-1, 1e-2], f32)),
+            max_iter=50, max_admm_iter=5,
+            alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:40],
+            tol=1e-3,
+        ).cost
+    )
+    timed("ilqr_admm car control bounds (N=500)", 17400.0, car_admm,
+          oracle=lambda c: f"cost={float(c):.3f} (ref 1.903)", reps=2)
+
+    # ---- 8. iLQR 3DoF arm (ref 100-131 ms)
+    Na = 100
+    arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / Na)
+    d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
+    target = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 1.0, 0.0], f32)
+    w = jnp.asarray([0.0] * n + [1e6] * n + [0.0, 1e6, 0.0], f32)
+    zs = jnp.stack([jnp.zeros(d, f32), target])
+    Qs = jnp.stack([jnp.zeros((d, d), f32), jnp.diag(w)])
+    seq = np.zeros(Na, dtype=np.int32)
+    seq[-1] = 1
+    aquad = viapoint_cost(zs, Qs, seq, 1e-4, m)
+    x0a = arm.initial_state(jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4], f32))
+    u0a = jnp.ones((Na, m), f32)
+
+    def get_Cs_a(xs, us):
+        return quad_cost_model(aquad.Q, aquad.xd, aquad.R, xs, us)
+
+    def arm_solve():
+        with jax.default_matmul_precision("highest"):
+            s0 = ilqr_init(arm.step, aquad, x0a, u0a)
+            return ilqr_solve(arm.step, arm.get_AB, get_Cs_a, aquad, s0,
+                              ILQRConfig(max_iter=30, max_line_search_iter=20)).cost
+
+    timed("iLQR 3DoF arm (N=100)", 131.0, jax.jit(arm_solve),
+          oracle=lambda c: f"cost={float(c):.4f} (ref 0.118)")
+
+    # ---- 9. ilqr_admm 3DoF arm (ref 639 ms)
+    x_nom_a = rollout_nonlinear(arm.step, x0a, u0a)
+
+    def proj_ua(u):
+        return jnp.clip(u, -6.0, 6.0)
+
+    def proj_xa(x):
+        x_ = x.reshape(Na, d)
+        x_ = x_.at[-1, 2 * n].set(jnp.clip(x_[-1, 2 * n], 0.5, 1.0))
+        x_ = x_.at[:, n : 2 * n].set(jnp.clip(x_[:, n : 2 * n], -1.5, 1.5))
+        return x_.reshape(-1)
+
+    rho_xa = np.zeros((Na, d, d), np.float32)
+    rho_xa[-1, 2 * n, 2 * n] = 1e1
+    for t in range(Na):
+        rho_xa[t, n : 2 * n, n : 2 * n] = np.eye(n) * 1e-2
+
+    arm_admm = jax.jit(
+        lambda: ilqr_admm(
+            arm.step, arm.get_AB, aquad, x_nom_a, u0a, quad_cost=aquad,
+            project_x=proj_xa, project_u=proj_ua,
+            rho_x=jnp.asarray(rho_xa), rho_u=1e-3,
+            max_iter=20, max_admm_iter=10,
+            alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:5],
+            tol=1e-4,
+        ).cost
+    )
+    timed("ilqr_admm 3DoF arm state+control", 639.0, arm_admm,
+          oracle=lambda c: f"cost={float(c):.4f} (ref 0.1996)")
+
+    # ---- 10. batched throughput headline (no single-instance reference)
+    BATCH = 4096
+    bsolve = make_batched_lqt_admm(A1, B1, cost1, project_u=proj_u, rho_u=1e-2,
+                                   n_iters=100)
+    x0s = jnp.asarray(np.random.default_rng(0).normal(0, 0.1, (BATCH, 2)), f32)
+    out = timed(
+        f"batched GEMM-ADMM, {BATCH} instances x 100 iters", 4096 * 172.0 / 5,
+        lambda: bsolve(x0s)[1],
+        oracle=lambda u: f"{BATCH} instances",
+    )
+
+    # ---- write outputs
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "headtohead.json"), "w") as fh:
+        json.dump({"backend": backend, "rows": RESULTS}, fh, indent=2)
+    lines = [
+        "# Head-to-head vs BASELINE.md (single-instance wall clock)",
+        "",
+        f"Backend: {backend}. Reference times: author's laptop NumPy "
+        "(BASELINE.md). Small single-instance problems are launch-latency "
+        "bound on TPU — batched throughput is the headline metric "
+        "(RESULTS.md).",
+        "",
+        "| Benchmark | ours (ms) | reference (ms) | speedup | oracle |",
+        "|---|---|---|---|---|",
+    ]
+    for r in RESULTS:
+        lines.append(
+            f"| {r['name']} | {r['ours_ms']} | {r['ref_ms']} | "
+            f"{r['speedup']}x | {r['oracle']} |"
+        )
+    with open(os.path.join(here, "HEADTOHEAD.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote benchmarks/HEADTOHEAD.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,7 @@ from ilqr_admm_tpu.solvers.lqt import (
 from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_batch, lqt_admm_dp
 from ilqr_admm_tpu.solvers.sls_admm import sls_admm
 from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+from ilqr_admm_tpu.utils.precision import highest_precision
 
 
 def _dtype():
@@ -126,6 +127,7 @@ class _Base:
             broadcast_rho(rho_u, self.u_dim, self.N, _dtype()),
         )
 
+    @highest_precision
     def compute_cost(self, x, u=None, cost_function=None):
         """Quadratic cost of (batched) lifted or stacked trajectories.
 
@@ -215,6 +217,7 @@ class SLS(_Base):
         single = x0.ndim == 1
         return (x0[None] if single else x0), single
 
+    @highest_precision
     def get_trajectory_batch(self, x0, us, noise_scale=0, rng=None):
         """Open-loop rollouts for a batch of initial states (`sls_base.py:62-74`)."""
         x0b, single = self._batchify_x0(x0)
@@ -237,6 +240,7 @@ class SLS(_Base):
             return xs[0], us_out[0]
         return xs, us_out
 
+    @highest_precision
     def get_trajectory_dp(self, x0, K, k, noise_scale=0, rng=None):
         """Closed-loop per-step-feedback rollouts (`sls_base.py:76-89`)."""
         x0b, single = self._batchify_x0(x0)
@@ -259,6 +263,7 @@ class SLS(_Base):
             return xs[0], us[0]
         return xs, us
 
+    @highest_precision
     def get_trajectory_sls(self, x0, K, k, noise_scale=0, rng=None):
         """History-feedback rollouts u_t = K[t,0:t] x_{0:t} + k_t (`sls_base.py:91-105`)."""
         x0b, single = self._batchify_x0(x0)
@@ -519,6 +524,7 @@ class iSLS(_Base):
         )
 
     # ------------------------------------------------------------ rollouts
+    @highest_precision
     def rollout_batch(self, x0, us):
         """Batched open-loop rollouts; x0 (b, d) or (d,), us (b, N, m).
 
@@ -534,6 +540,7 @@ class iSLS(_Base):
         xs = jax.vmap(lambda a, u: rollout_nonlinear(f, a, u))(x0b, us)
         return xs, us
 
+    @highest_precision
     def get_trajectory_batch(self, x0, us, noise_scale=0, rng=None):
         x0 = jnp.asarray(x0, _dtype())
         us = jnp.asarray(us, _dtype())
@@ -555,6 +562,7 @@ class iSLS(_Base):
             return xs[0], us
         return xs, usb
 
+    @highest_precision
     def get_trajectory_dp(self, x0, K, k, noise_scale=0, rng=None):
         """Closed-loop rollouts around the nominal (reference `isls_base.py:59-71`).
 
@@ -580,6 +588,7 @@ class iSLS(_Base):
             return xs[0], us[0]
         return xs, us
 
+    @highest_precision
     def get_trajectory_sls(self, x0, K, k, noise_scale=0, rng=None):
         """History-feedback rollouts around the nominal (`isls_base.py:28-42`)."""
         x0 = jnp.asarray(x0, _dtype())

@@ -24,6 +24,9 @@ import jax.numpy as jnp
 from jax import lax
 
 
+from ilqr_admm_tpu.utils.precision import highest_precision
+
+@highest_precision
 def sw_x0(A: jax.Array, x0: jax.Array) -> jax.Array:
     """Free response Sw[:, :x_dim] @ x0 as a trajectory (N, x_dim).
 
@@ -39,6 +42,7 @@ def sw_x0(A: jax.Array, x0: jax.Array) -> jax.Array:
     return xs
 
 
+@highest_precision
 def su_apply(A: jax.Array, B: jax.Array, us: jax.Array) -> jax.Array:
     """Su @ u as a trajectory: forced response from zero state.
 
@@ -54,6 +58,7 @@ def su_apply(A: jax.Array, B: jax.Array, us: jax.Array) -> jax.Array:
     return xs
 
 
+@highest_precision
 def su_t_apply(A: jax.Array, B: jax.Array, vs: jax.Array) -> jax.Array:
     """Adjoint Su^T @ v: (N, x_dim) → (N, u_dim).
 
@@ -73,6 +78,7 @@ def su_t_apply(A: jax.Array, B: jax.Array, vs: jax.Array) -> jax.Array:
     return outs
 
 
+@highest_precision
 def build_Sx(A: jax.Array, p: int | None = None) -> jax.Array:
     """First p columns of Sw as stacked blocks: (N, x_dim, p).
 
@@ -91,6 +97,7 @@ def build_Sx(A: jax.Array, p: int | None = None) -> jax.Array:
     return Ms
 
 
+@highest_precision
 def build_Sw(A: jax.Array) -> jax.Array:
     """Dense lifted Sw: (N*x, N*x). Row-block recursion as one scan."""
     N, d, _ = A.shape
@@ -110,6 +117,7 @@ def build_Sw(A: jax.Array) -> jax.Array:
     return rows.reshape(N * d, N * d)
 
 
+@highest_precision
 def build_Su(A: jax.Array, B: jax.Array) -> jax.Array:
     """Dense lifted Su: (N*x, N*u). Row-block recursion as one scan."""
     N, d, _ = A.shape

@@ -39,6 +39,8 @@ from jax.scipy.linalg import cho_factor, cho_solve
 from ilqr_admm_tpu.ops.riccati import DPGains
 
 
+from ilqr_admm_tpu.utils.precision import highest_precision
+
 def _combine(e1, e2):
     """Associative composition of conditional-value-function elements.
 
@@ -77,6 +79,7 @@ def _combine_rev(a, b):
     return _combine_v(b, a)
 
 
+@highest_precision
 def lqt_backward_parallel(
     A: jax.Array,
     B: jax.Array,
@@ -155,6 +158,7 @@ def lqt_backward_parallel(
     )
 
 
+@highest_precision
 def rollout_closed_loop_parallel(A, B, K, k, x0):
     """Closed-loop *linear* rollout via associative scan (O(log N) depth).
 

@@ -28,6 +28,8 @@ from jax import lax
 from jax.scipy.linalg import cho_factor, cho_solve
 
 
+from ilqr_admm_tpu.utils.precision import highest_precision
+
 class DPGains(NamedTuple):
     """Feedback gains + cached quadratic-model blocks for fast re-sweeps.
 
@@ -46,6 +48,7 @@ def _sym(M):
     return 0.5 * (M + M.T)
 
 
+@highest_precision
 def lqt_backward(
     A: jax.Array,
     B: jax.Array,
@@ -115,6 +118,7 @@ def lqt_backward(
     )
 
 
+@highest_precision
 def lqt_backward_ff(
     gains: DPGains,
     A: jax.Array,
@@ -160,6 +164,7 @@ def lqt_backward_ff(
     return jnp.concatenate([ks, jnp.zeros((1, m), dtype)], axis=0)
 
 
+@highest_precision
 def ilqr_backward(
     A: jax.Array,
     B: jax.Array,
@@ -212,6 +217,7 @@ def ilqr_backward(
     return K, k
 
 
+@highest_precision
 def quad_cost_model(Q, xd, R, x_nom, u_nom):
     """Build (cts, Cts) Taylor blocks of the quadratic cost around a nominal.
 

@@ -19,10 +19,13 @@ import jax.numpy as jnp
 from jax import lax
 
 
+from ilqr_admm_tpu.utils.precision import highest_precision
+
 def _noise(ws, t_arr):
     return 0.0 if ws is None else ws
 
 
+@highest_precision
 def rollout_linear(
     A: jax.Array, B: jax.Array, x0: jax.Array, us: jax.Array,
     ws: Optional[jax.Array] = None,
@@ -41,6 +44,7 @@ def rollout_linear(
     return xs
 
 
+@highest_precision
 def rollout_nonlinear(
     f: Callable, x0: jax.Array, us: jax.Array, ws: Optional[jax.Array] = None
 ) -> jax.Array:
@@ -57,6 +61,7 @@ def rollout_nonlinear(
     return xs
 
 
+@highest_precision
 def rollout_closed_loop(
     f: Callable,
     x0: jax.Array,
@@ -91,6 +96,7 @@ def rollout_closed_loop(
     return xs, us
 
 
+@highest_precision
 def rollout_sls(
     f: Callable,
     x0: jax.Array,
@@ -126,6 +132,7 @@ def rollout_sls(
     return xs, us
 
 
+@highest_precision
 def rollout_sls_delta(
     f: Callable,
     x0: jax.Array,

@@ -31,6 +31,9 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 
+from ilqr_admm_tpu.utils.precision import highest_precision
+
+@highest_precision
 def causal_cholesky_factors(l_side: jax.Array) -> jax.Array:
     """Cholesky factor of the time-reversed normal matrix.
 
@@ -40,6 +43,7 @@ def causal_cholesky_factors(l_side: jax.Array) -> jax.Array:
     return jnp.linalg.cholesky(l_rev)
 
 
+@highest_precision
 def causal_trailing_solve(
     Lr: jax.Array,
     rhs: jax.Array,
@@ -68,6 +72,7 @@ def causal_trailing_solve(
     return jax.vmap(solve_one)(rhs, starts)
 
 
+@highest_precision
 def sls_synthesize(
     l_side: jax.Array,
     r_side_ff: jax.Array,

@@ -71,9 +71,12 @@ class QuadCost:
 
         xs: (..., N, x_dim); us: (..., N, u_dim). Returns (...,).
         """
+        # HIGHEST precision: cost drives line-search accept decisions, and
+        # the TPU's default bf16-pass contraction is ~4e-3 relative
+        hi = jax.lax.Precision.HIGHEST
         dx = xs - self.xd
-        cx = jnp.einsum("...ti,tij,...tj->...", dx, self.Q, dx)
-        cu = jnp.einsum("...ti,tij,...tj->...", us, self.R, us)
+        cx = jnp.einsum("...ti,tij,...tj->...", dx, self.Q, dx, precision=hi)
+        cu = jnp.einsum("...ti,tij,...tj->...", us, self.R, us, precision=hi)
         return cx + cu
 
     def lifted_Q(self) -> jax.Array:

@@ -28,6 +28,8 @@ from ilqr_admm_tpu.ops.riccati import ilqr_backward
 from ilqr_admm_tpu.ops.rollout import rollout_closed_loop, rollout_nonlinear
 from ilqr_admm_tpu.problem import ILQRConfig, SolveStatus, line_search_alphas
 
+from ilqr_admm_tpu.utils.precision import highest_precision
+
 _NAN_COST = 1e5  # reference NaN guard (`isls.py:362`)
 
 
@@ -70,6 +72,7 @@ def _select_candidate(cost_fn, xs_cand, us_cand, state: ILQRState):
     ), accept
 
 
+@highest_precision
 def ilqr_iterate_dp(
     f: Callable,
     get_AB: Callable,
@@ -96,6 +99,7 @@ def ilqr_iterate_dp(
     return new_state, accept, (K, k)
 
 
+@highest_precision
 def ilqr_iterate_batch(
     f: Callable,
     get_AB: Callable,
@@ -137,6 +141,7 @@ def ilqr_iterate_batch(
     return new_state, accept, delta_u
 
 
+@highest_precision
 def ilqr_solve(
     f: Callable,
     get_AB: Callable,

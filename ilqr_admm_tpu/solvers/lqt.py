@@ -16,6 +16,8 @@ from ilqr_admm_tpu.ops.sls_synthesis import sls_synthesize
 from ilqr_admm_tpu.problem import QuadCost
 
 
+from ilqr_admm_tpu.utils.precision import highest_precision
+
 def broadcast_rho(rho, dim: int, N: int, dtype=None):
     """Broadcast an ADMM penalty spec to stacked (N, dim, dim) blocks.
 
@@ -44,6 +46,7 @@ def block_diag_stacked(blocks: jax.Array) -> jax.Array:
     ].set(blocks)
 
 
+@highest_precision
 def lifted_normal_eqs(A, B, cost: QuadCost, Qr=None, Rr=None):
     """Assemble the dense lifted pieces used by batch / SLS paths.
 
@@ -67,6 +70,7 @@ def lifted_normal_eqs(A, B, cost: QuadCost, Qr=None, Rr=None):
     return dict(Su=Su, Sw=Sw, SuTQ=SuTQ, l_side=l_side, SuTQr=SuTQr, Rr=Rr_lift)
 
 
+@highest_precision
 def lqt_solve_batch(A, B, cost: QuadCost, x0):
     """Open-loop optimum via lifted least squares (reference `sls.py:62-83`).
 
@@ -86,6 +90,7 @@ def lqt_solve_batch(A, B, cost: QuadCost, x0):
     return x_opt.reshape(N, -1), u_opt.reshape(N, m)
 
 
+@highest_precision
 def lqt_solve_dp(
     A, B, cost: QuadCost,
     Qr=None, xr=None, Rr=None, ur=None,
@@ -97,6 +102,7 @@ def lqt_solve_dp(
     return lqt_backward(A, B, cost.Q, cost.xd, cost.R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
 
 
+@highest_precision
 def lqt_solve_sls(A, B, cost: QuadCost):
     """SLS synthesis: causal feedback map Phi_u + feedforward du.
 
@@ -111,6 +117,7 @@ def lqt_solve_sls(A, B, cost: QuadCost):
     return sls_synthesize(eqs["l_side"], r_ff, r_fb, u_dim, x_dim)
 
 
+@highest_precision
 def lqt_solve_batch_full(A, B, Q_full, xd_full, R_full, x0):
     """Batch LQT with a *dense lifted* cost (cross-timestep correlations).
 
@@ -130,6 +137,7 @@ def lqt_solve_batch_full(A, B, Q_full, xd_full, R_full, x0):
     return x_opt.reshape(N, -1), u_opt.reshape(N, m)
 
 
+@highest_precision
 def lqt_solve_sls_full(A, B, Q_full, xd_full, R_full):
     """SLS synthesis with a dense lifted cost. Returns (PHI_U, du)."""
     from ilqr_admm_tpu.ops.sls_synthesis import sls_synthesize as _synth
@@ -144,6 +152,7 @@ def lqt_solve_sls_full(A, B, Q_full, xd_full, R_full):
     return _synth(l_side, r_ff, r_fb, u_dim, x_dim)
 
 
+@highest_precision
 def sls_controller(A, B, PHI_U, du):
     """Recover time-domain gains (K, k) from the response map.
 
@@ -157,6 +166,7 @@ def sls_controller(A, B, PHI_U, du):
     return K, k
 
 
+@highest_precision
 def replanning_matrix(A, B, cost: QuadCost, K):
     """Receding-horizon feedforward replanning operator.
 
