@@ -142,8 +142,9 @@ class CarParkingCost:
             jnp.broadcast_to(is_final, xs.shape[:-1]).reshape(-1),
         ).reshape(xs.shape[:-1])
         total = jnp.sum(c, axis=-1)
-        # NaN guard matching the reference (`Tutorial.ipynb` cell 14).
-        return jnp.where(jnp.isnan(total), 1e6, total)
+        # NaN guard: the reference substitutes 1e6 (`Tutorial.ipynb` cell
+        # 14); +inf guarantees NaN trajectories never win a line search.
+        return jnp.where(jnp.isnan(total), jnp.inf, total)
 
     def get_Cs(self, xs: jax.Array, us: jax.Array):
         """Taylor blocks (cts (N, x+u), Cts (N, x+u, x+u)) around a nominal.

@@ -30,7 +30,11 @@ from ilqr_admm_tpu.problem import ILQRConfig, SolveStatus, line_search_alphas
 
 from ilqr_admm_tpu.utils.precision import highest_precision
 
-_NAN_COST = 1e5  # reference NaN guard (`isls.py:362`)
+# NaN line-search candidates must never win. The reference clamps NaN cost
+# to 1e5 (`isls.py:362`) — a latent defect: when true costs exceed 1e5 (big
+# weights / f32 overflow on exploding rollouts) the NaN candidate "wins" and
+# poisons the nominal. Clamp to +inf instead (SURVEY §2 defect policy).
+_NAN_COST = float("inf")
 
 
 class ILQRState(NamedTuple):

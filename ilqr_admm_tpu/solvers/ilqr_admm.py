@@ -132,7 +132,7 @@ def _ilqr_admm_impl(
 
             xs_c, us_c = jax.vmap(rollout_alpha)(alphas)
             costs = jax.vmap(cost_fn)(xs_c, us_c)
-            costs = jnp.where(jnp.isnan(costs), 1e5, costs)
+            costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
             # augmented-cost candidate scoring (`isls.py:470-477`)
             if Qr_l is not None and x is not None:
                 dx = xs_c.reshape(len(alphas), -1) - x
@@ -241,7 +241,7 @@ def _ilqr_admm_dp(
 
             xs_c, us_c = jax.vmap(rollout_alpha)(alphas)
             costs = jax.vmap(cost_fn)(xs_c, us_c)
-            costs = jnp.where(jnp.isnan(costs), 1e5, costs)
+            costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
             if has_x and x is not None:
                 dx = xs_c - x.reshape(N, d)
                 costs = costs + jnp.einsum("ati,tij,atj->a", dx, Qr, dx)

@@ -134,7 +134,7 @@ def _isls_admm_impl(
 
             xs_c, us_c = jax.vmap(rollout_alpha)(alphas)
             costs = jax.vmap(cost_fn)(xs_c, us_c)
-            costs = jnp.where(jnp.isnan(costs), 1e5, costs)
+            costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
             ind = jnp.argmin(costs)
 
             dU_opt = dU.at[:, 0].set((us_c[ind] - u_nom).reshape(-1))
