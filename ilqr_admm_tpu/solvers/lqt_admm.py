@@ -21,6 +21,13 @@ from ilqr_admm_tpu.solvers.admm import admm_solve
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
 
 
+def _sqrt_psd_stacked(blocks):
+    """Symmetric PSD square roots of stacked (N, d, d) blocks (eigh-based)."""
+    w, V = jnp.linalg.eigh(blocks)
+    w = jnp.sqrt(jnp.maximum(w, 0.0))
+    return jnp.einsum("tij,tj,tkj->tik", V, w, V)
+
+
 def _lqt_admm_batch_impl(
     A,
     B,
@@ -31,11 +38,23 @@ def _lqt_admm_batch_impl(
     rho_x=None,
     rho_u=None,
     cfg: ADMMConfig = ADMMConfig(),
+    use_qr: bool = False,
 ):
     """Constrained LQT, lifted least-squares x-update (one matmul per iter).
 
     Returns (x_flat, u_flat, info) with x_flat (N*x_dim,), u_flat (N*u_dim,).
+
+    use_qr=True replaces the normal-equation Cholesky with a QR
+    factorization of the stacked square-root system
+    [sqrt(Q) Su; sqrt(R); sqrt(Qr) Su; sqrt(Rr)] — condition number
+    cond(G) instead of cond(G)^2, which keeps f32 (TPU) accuracy at the
+    reference's stiff weight ratios (x_std up to 1e6; SURVEY §7 hard
+    part). Slightly more setup cost; identical math.
     """
+    if use_qr:
+        return _lqt_admm_batch_qr(
+            A, B, cost, x0, project_x, project_u, rho_x, rho_u, cfg
+        )
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype
@@ -75,6 +94,74 @@ def _lqt_admm_batch_impl(
         if Rr_l is not None and u is not None:
             r = r + Rr_l @ u
         u_hat = cho_solve(cf, r)
+        x_hat = free + Su @ u_hat
+        return x_hat, u_hat
+
+    x_x, x_u, _, _, _, _, _, info = admm_solve(
+        f_argmin, project_x, project_u, (N * d,), (N * m,), cfg,
+        z_x_init=z_x0, z_u_init=z_u0, dtype=dtype,
+    )
+    return x_x, x_u, info
+
+
+def _lqt_admm_batch_qr(
+    A, B, cost, x0, project_x, project_u, rho_x, rho_u, cfg,
+):
+    """QR (square-root) x-update variant of the batch LQT-ADMM."""
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+
+    Qr = broadcast_rho(rho_x, d, N, dtype)
+    Rr = broadcast_rho(rho_u, m, N, dtype)
+    has_x = project_x is not None
+    has_u = project_u is not None
+
+    Su = build_Su(A, B)
+    free = sw_x0(A, x0).reshape(-1)
+    xd = cost.lifted_xd()
+
+    sqQ = block_diag_stacked(_sqrt_psd_stacked(cost.Q))
+    sqR = block_diag_stacked(_sqrt_psd_stacked(cost.R))
+    rows = [sqQ @ Su, sqR]
+    sqQr = sqRr = None
+    if Qr is not None and has_x:
+        sqQr = block_diag_stacked(_sqrt_psd_stacked(Qr))
+        rows.append(sqQr @ Su)
+    if Rr is not None and has_u:
+        sqRr = block_diag_stacked(_sqrt_psd_stacked(Rr))
+        rows.append(sqRr)
+    G = jnp.concatenate(rows, axis=0)  # (n_rows, Nm)
+    Qf, Rf = jnp.linalg.qr(G)  # reduced: Qf (n_rows, Nm), Rf (Nm, Nm)
+
+    # stacked rhs c with G^T c = r_side; u = Rf^{-1} Qf^T c
+    c0 = sqQ @ (xd - free)
+    zeros_R = jnp.zeros((N * m,), dtype)
+
+    from jax.scipy.linalg import solve_triangular
+
+    def solve_ls(c_parts):
+        c = jnp.concatenate(c_parts, axis=0)
+        return solve_triangular(Rf, Qf.T @ c, lower=False)
+
+    # warm start: regularized LS with zero-centered reg targets (a valid
+    # init; the reference warm-starts from the unregularized optimum)
+    warm_parts = [c0, zeros_R]
+    if sqQr is not None:
+        warm_parts.append(jnp.zeros((N * d,), dtype))
+    if sqRr is not None:
+        warm_parts.append(zeros_R)
+    u_unc = solve_ls(warm_parts)
+    z_u0 = u_unc
+    z_x0 = free + Su @ u_unc
+
+    def f_argmin(x, u):
+        parts = [c0, zeros_R]
+        if sqQr is not None:
+            parts.append(sqQr @ ((x if x is not None else free) - free))
+        if sqRr is not None:
+            parts.append(sqRr @ (u if u is not None else jnp.zeros((N * m,), dtype)))
+        u_hat = solve_ls(parts)
         x_hat = free + Su @ u_hat
         return x_hat, u_hat
 
