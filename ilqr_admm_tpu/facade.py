@@ -103,6 +103,20 @@ class _Base:
         self.seq = np.asarray(seq)
         self.Rt = jnp.eye(self.u_dim, dtype=_dtype()) * u_std
         self.quad_cost = viapoint_cost(self.zs, self.Qs, self.seq, u_std, self.u_dim)
+        if not jax.config.jax_enable_x64:
+            from ilqr_admm_tpu.utils.precision import stiffness_ratio
+
+            ratio = stiffness_ratio(self.quad_cost.Q, self.quad_cost.R)
+            if ratio > 1e7:
+                import warnings
+
+                warnings.warn(
+                    f"cost weight ratio {ratio:.1e} exceeds float32 capability "
+                    "(~1e7); enable float64 "
+                    "(ilqr_admm_tpu.utils.precision.use_x64()) or rescale the "
+                    "weights, or solvers may fail to improve / NaN.",
+                    stacklevel=2,
+                )
 
     # reference notebooks use this older name (SURVEY §2 API drift)
     set_cost_variables = set_quadratic_cost
@@ -305,6 +319,7 @@ class SLS(_Base):
     def ADMM_LQT_Batch(
         self, x0, project_x=None, project_u=None, max_iter=20, rho_x=None,
         rho_u=None, alpha=1.0, tol=1e-3, verbose=False, log=False,
+        use_qr=False,
     ):
         """Constrained LQT, batch x-update (reference `sls.py:252-293`).
 
@@ -315,7 +330,7 @@ class SLS(_Base):
         cfg = ADMMConfig(max_iter=max_iter, alpha=alpha, tol=tol, log=log)
         x, u, info = lqt_admm_batch(
             self.A, self.B, self.quad_cost, jnp.asarray(x0, _dtype()),
-            project_x, project_u, rho_x, rho_u, cfg,
+            project_x, project_u, rho_x, rho_u, cfg, use_qr=use_qr,
         )
         if verbose:
             print(

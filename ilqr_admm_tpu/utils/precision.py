@@ -26,3 +26,24 @@ def highest_precision(fn):
             return fn(*args, **kwargs)
 
     return wrapper
+
+
+def use_x64():
+    """Enable float64 globally (works on TPU via emulation, ~10x slower).
+
+    Required for weight ratios beyond ~1e7 (e.g. the 3DoF arm benchmark's
+    x_std=1e6 / u_std=1e-4): no f32 formulation survives condition numbers
+    past ~1e7 in the Riccati/lifted solves. Call before creating arrays.
+    """
+    jax.config.update("jax_enable_x64", True)
+
+
+def stiffness_ratio(Q, R) -> float:
+    """max state weight / min positive control weight — the conditioning
+    driver of this problem class."""
+    import jax.numpy as jnp
+
+    q_max = float(jnp.max(jnp.abs(Q)))
+    r_diag = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
+    r_min = float(jnp.min(jnp.where(r_diag > 0, r_diag, jnp.inf)))
+    return q_max / r_min if r_min > 0 else float("inf")
