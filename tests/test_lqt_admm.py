@@ -149,3 +149,23 @@ def test_qr_sqrt_admm_matches_cholesky_in_f64():
                                  cfg=cfg, use_qr=True)
     np.testing.assert_allclose(np.asarray(u_q), np.asarray(u_c), atol=1e-6)
     np.testing.assert_allclose(np.asarray(x_q), np.asarray(x_c), atol=1e-6)
+
+
+def test_dp_operator_form_matches_scan_form():
+    """Operator-form DP-ADMM (precomputed affine sweep) == scan form."""
+    plant, A, B, cost = control_bounds_problem()
+    x0 = jnp.zeros(plant.x_dim)
+    proj_u = lambda u: project_bound(u, -5.0, 5.0)
+    cfg = ADMMConfig(max_iter=200, tol=1e-4)
+
+    x_s, u_s, (K_s, k_s), _ = lqt_admm_dp(
+        A, B, cost, x0, project_u=proj_u, rho_u=1e-1, cfg=cfg,
+        operator_form=False,
+    )
+    x_o, u_o, (K_o, k_o), _ = lqt_admm_dp(
+        A, B, cost, x0, project_u=proj_u, rho_u=1e-1, cfg=cfg,
+        operator_form=True,
+    )
+    np.testing.assert_allclose(np.asarray(u_o), np.asarray(u_s), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x_o), np.asarray(x_s), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(k_o), np.asarray(k_s), atol=1e-8)
