@@ -251,9 +251,10 @@ def main():
         "# Head-to-head vs BASELINE.md (single-instance wall clock)",
         "",
         f"Backend: {backend}. Reference times: author's laptop NumPy "
-        "(BASELINE.md). Small single-instance problems are launch-latency "
-        "bound on TPU — batched throughput is the headline metric "
-        "(RESULTS.md).",
+        "(BASELINE.md). Every timing includes a ~28 ms host-to-TPU dispatch "
+        "floor (remote-tunnel round trip — visible as the identical time of "
+        "trivially different rows); on-device compute is far below it, and "
+        "batched throughput (RESULTS.md) is the headline metric.",
         "",
         "| Benchmark | ours (ms) | reference (ms) | speedup | oracle |",
         "|---|---|---|---|---|",

@@ -200,6 +200,23 @@ class SLS(_Base):
             return gains.K, gains.k, gains.Quu, gains.Quu_inv, gains.Qux
         return gains.K, gains.k
 
+    def solve_dp_ff(self, K, Quu, Qux, Quu_inv, Qr=None, Rr=None, ur=None, xr=None):
+        """Feedforward-only re-sweep with cached DP blocks (reference
+        `sls.py:168-202`). Returns k (N, u_dim)."""
+        from ilqr_admm_tpu.ops.riccati import DPGains, lqt_backward_ff
+
+        gains = DPGains(
+            K=jnp.asarray(K, _dtype()), k=jnp.zeros((self.N, self.u_dim), _dtype()),
+            Quu=jnp.asarray(Quu, _dtype()), Quu_inv=jnp.asarray(Quu_inv, _dtype()),
+            Qux=jnp.asarray(Qux, _dtype()),
+        )
+        xr_ = None if xr is None else jnp.asarray(xr, _dtype()).reshape(self.N, self.x_dim)
+        ur_ = None if ur is None else jnp.asarray(ur, _dtype()).reshape(self.N, self.u_dim)
+        return lqt_backward_ff(
+            gains, self.A, self.B, self.quad_cost.Q, self.quad_cost.xd,
+            Qr=Qr, xr=xr_, Rr=Rr, ur=ur_,
+        )
+
     def solve_sls(self, verbose: bool = False):
         del verbose
         PHI_U, du = lqt_solve_sls(self.A, self.B, self.quad_cost)
