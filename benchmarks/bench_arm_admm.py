@@ -81,4 +81,6 @@ def main(batch=1024, method="batch"):
 
 if __name__ == "__main__":
     import sys
-    main(method=sys.argv[1] if len(sys.argv) > 1 else "batch")
+    method = sys.argv[1] if len(sys.argv) > 1 else "batch"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    main(batch=batch, method=method)

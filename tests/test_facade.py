@@ -157,3 +157,20 @@ def test_isls_quadratic_cost_and_aliases():
     assert sls.cost < c0
     xf = np.asarray(sls.x_nom[-1])
     assert np.linalg.norm(xf[:2] - np.array([-1.0, -1.0])) < 0.3
+
+
+def test_facade_solve_dp_ff():
+    """Reference `solve_dp_ff` API: cached-blocks ff re-sweep."""
+    N = 50
+    A, B = get_double_integrator_AB(1, 2, dt=1.0 / N)
+    sls = SLS(2, 1, N)
+    sls.AB = [A, B]
+    zs = np.stack([np.zeros(2), np.array([1.0, 0.0])])
+    Qs = np.stack([np.zeros((2, 2)), np.eye(2) * 1e4])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    sls.set_quadratic_cost(zs, Qs, seq, 1e-2)
+
+    K, k, Quu, Quu_inv, Qux = sls.solve_dp(return_Qs=True)
+    k2 = sls.solve_dp_ff(K, Quu, Qux, Quu_inv)
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(k), atol=1e-10)
