@@ -462,8 +462,13 @@ class iSLS(_Base):
         self.cost_log.append(self._cost)
 
     @property
-    def cost_value(self):
+    def cost(self):
+        """Scalar cost of the current nominal (reference `isls_base.py:98-103`)."""
         return self._cost
+
+    @cost.setter
+    def cost(self, value):
+        self._cost = value
 
     @property
     def K(self):
@@ -726,15 +731,3 @@ class iSLS(_Base):
             )
         return res.du, res.phi_u
 
-
-# `cost` property name clashes with _Base.cost (QuadCost); keep reference
-# attribute semantics on iSLS: `.cost` returns the scalar nominal cost.
-def _isls_cost_get(self):
-    return self._cost
-
-
-def _isls_cost_set(self, value):
-    self._cost = value
-
-
-iSLS.cost = property(_isls_cost_get, _isls_cost_set)
