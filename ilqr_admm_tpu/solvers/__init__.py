@@ -21,6 +21,7 @@ from ilqr_admm_tpu.solvers.ilqr import (
 from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
 from ilqr_admm_tpu.solvers.isls_admm import isls_admm
 from ilqr_admm_tpu.solvers.batched import make_batched_lqt_admm
+from ilqr_admm_tpu.solvers.batched_sls import make_batched_sls_admm
 from ilqr_admm_tpu.solvers.mpc import MPCState, make_mpc_step, mpc_init, run_mpc
 
 __all__ = [
@@ -45,6 +46,7 @@ __all__ = [
     "ilqr_admm",
     "isls_admm",
     "make_batched_lqt_admm",
+    "make_batched_sls_admm",
     "MPCState",
     "make_mpc_step",
     "mpc_init",

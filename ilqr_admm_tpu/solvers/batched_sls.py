@@ -1,0 +1,142 @@
+"""Batched robust SLS-ADMM with shared operators — scenario fleets.
+
+For fleets of robust-synthesis problems that share dynamics and cost but
+differ per instance (chance-constraint levels, bounds, uncertainty
+scales — the scenario axis of BASELINE config #4), the x-update operators
+(l_inv, Su, Sx) are instance-invariant: every ADMM iteration over the
+whole fleet is a single einsum GEMM
+
+    U = (r + W_x X_reg + W_u U_reg) @ l_inv^T     (batch, Nm, p+1)
+
+plus the batched projection z-update. Differs from `vmap(sls_admm)` in
+that the operators are built once (not per instance under vmap) and the
+iteration count is fixed (SPMD-friendly), matching
+`solvers/batched.py`'s design for the LQT case.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ilqr_admm_tpu.ops.lifted import build_Su, build_Sw
+from ilqr_admm_tpu.problem import QuadCost
+from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
+from ilqr_admm_tpu.solvers.lqt import lqt_solve_sls
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+def make_batched_sls_admm(
+    A,
+    B,
+    cost: QuadCost,
+    project_x: Optional[Callable] = None,
+    project_u: Optional[Callable] = None,
+    rho_x=None,
+    rho_u=None,
+    robust_dim: Optional[int] = None,
+    n_iters: int = 100,
+    alpha: float = 1.0,
+):
+    """Build a jitted batched robust SLS-ADMM solver.
+
+    project_x / project_u map (batch, N*dim, p+1) arrays (plus a
+    per-instance `params` pytree broadcast from the solver input) to the
+    constraint sets:  proj(y, params) -> y_projected.
+
+    Returns solve(params) -> (du (batch, Nm), phi_u (batch, Nm, Nd),
+    U (batch, Nm, p+1)) where `params` is any pytree with leading batch
+    axis consumed by the projections (e.g. per-instance bounds).
+    """
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+    p = d // 2 if robust_dim is None else robust_dim
+    has_x = project_x is not None
+    has_u = project_u is not None
+    if not (has_x or has_u):
+        raise ValueError("at least one projection required")
+
+    PHI_unc, _ = lqt_solve_sls(A, B, cost)
+
+    Su = build_Su(A, B)
+    Sw = build_Sw(A)
+    Sx = Sw[:, :p]
+
+    Qr = broadcast_rho(rho_x, d, N, dtype)
+    Rr = broadcast_rho(rho_u, m, N, dtype)
+    Qr_l = block_diag_stacked(Qr) if (Qr is not None and has_x) else None
+    Rr_l = block_diag_stacked(Rr) if (Rr is not None and has_u) else None
+
+    Qlift = block_diag_stacked(cost.Q)
+    SuTQ = Su.T @ Qlift
+    l_side = SuTQ @ Su + block_diag_stacked(cost.R)
+    r_fb = -SuTQ @ Sx
+    SuTQr = None
+    if Qr_l is not None:
+        SuTQr = Su.T @ Qr_l
+        l_side = l_side + SuTQr @ Su
+        r_fb = r_fb - SuTQr @ Sx
+    if Rr_l is not None:
+        l_side = l_side + Rr_l
+    l_inv = jnp.linalg.inv(l_side)
+    r_ff = SuTQ @ cost.lifted_xd()
+    r_base = jnp.concatenate([r_ff[:, None], r_fb], axis=-1)  # (Nm, p+1)
+
+    l_invT = l_inv.T
+    SuT = Su.T
+
+    @jax.jit
+    def solve(params):
+        batch = jax.tree_util.tree_leaves(params)[0].shape[0]
+        z_x = jnp.zeros((batch, N * d, p + 1), dtype)
+        z_u = jnp.zeros((batch, N * m, p + 1), dtype)
+        l_x = jnp.zeros_like(z_x)
+        l_u = jnp.zeros_like(z_u)
+
+        def x_update(z_x, z_u, l_x, l_u):
+            r = jnp.broadcast_to(r_base, (batch,) + r_base.shape)
+            if SuTQr is not None:
+                r = r + jnp.einsum("ij,bjk->bik", SuTQr, z_x - l_x, precision=_PREC)
+            if Rr_l is not None:
+                r = r + jnp.einsum("ij,bjk->bik", Rr_l, z_u - l_u, precision=_PREC)
+            U = jnp.einsum("ij,bjk->bik", l_inv, r, precision=_PREC)
+            X = jnp.einsum("ij,bjk->bik", Su, U, precision=_PREC)
+            X = X.at[:, :, 1:].add(Sx)
+            return X, U
+
+        def body(carry, _):
+            z_x, z_u, l_x, l_u, X, U = carry
+            X, U = x_update(z_x, z_u, l_x, l_u)
+            if has_x:
+                z_rel = alpha * X + (1.0 - alpha) * z_x
+                z_new = project_x(z_rel + l_x, params)
+                l_x = l_x + X - z_new
+                z_x = z_new
+            if has_u:
+                z_rel = alpha * U + (1.0 - alpha) * z_u
+                z_new = project_u(z_rel + l_u, params)
+                l_u = l_u + U - z_new
+                z_u = z_new
+            return (z_x, z_u, l_x, l_u, X, U), None
+
+        init = (z_x, z_u, l_x, l_u, z_x, z_u)
+        (z_x, z_u, l_x, l_u, X, U), _ = lax.scan(body, init, None, length=n_iters)
+
+        du = U[:, :, 0]
+        phi_u = jnp.concatenate(
+            [U[:, :, 1 : p + 1],
+             jnp.broadcast_to(PHI_unc[:, p:], (batch,) + PHI_unc[:, p:].shape)],
+            axis=-1,
+        )
+        return du, phi_u, U
+
+    return solve
