@@ -27,8 +27,10 @@ from ilqr_admm_tpu.utils.cost_assembly import get_double_integrator_AB
 class PlanarArm:
     """n-link planar arm, revolute z-joints, links along local x."""
 
-    def __init__(self, link_lengths: Sequence[float] = (1.0, 1.0, 1.0), dt: float = 0.01):
-        self.lengths = jnp.asarray(link_lengths, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    def __init__(self, link_lengths: Sequence[float] = (1.0, 1.0, 1.0), dt: float = 0.01, dtype=None):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.lengths = jnp.asarray(link_lengths, dtype=dtype)
         self.q_dim = len(link_lengths)
         self.p_dim = 3  # [x, y, z] with z == 0, matching the reference state
         self.x_dim = 2 * self.q_dim + self.p_dim

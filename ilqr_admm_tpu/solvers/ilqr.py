@@ -84,14 +84,22 @@ def ilqr_iterate_dp(
     cost_fn: Callable,
     state: ILQRState,
     alphas: jax.Array,
+    riccati: str = "chol",
 ):
     """One DP iLQR iteration: Riccati backward + vmapped line search.
 
-    Returns (new_state, accept, (K, k)).
+    riccati='sqrt' uses the array-form square-root backward pass
+    (`ops/sqrt_riccati.py`) — f32-stable at stiff weight ratios (requires
+    Cux = 0). Returns (new_state, accept, (K, k)).
     """
     A, B = get_AB(state.x_nom, state.u_nom)
     cts, Cts = get_Cs(state.x_nom, state.u_nom)
-    K, k = ilqr_backward(A, B, Cts, cts)
+    if riccati == "sqrt":
+        from ilqr_admm_tpu.ops.sqrt_riccati import ilqr_backward_sqrt
+
+        K, k = ilqr_backward_sqrt(A, B, Cts, cts)
+    else:
+        K, k = ilqr_backward(A, B, Cts, cts)
 
     def rollout_alpha(alpha):
         return rollout_closed_loop(
@@ -154,6 +162,7 @@ def ilqr_solve(
     state0: ILQRState,
     cfg: ILQRConfig = ILQRConfig(),
     method: str = "dp",
+    riccati: str = "chol",
 ) -> ILQRState:
     """Full iLQR solve as a jittable while_loop (vmap over instances works).
 
@@ -162,7 +171,11 @@ def ilqr_solve(
     `isls.py:125-132`.
     """
     alphas = line_search_alphas(cfg, state0.x_nom.dtype)
-    iterate = ilqr_iterate_dp if method == "dp" else ilqr_iterate_batch
+    if method == "dp":
+        def iterate(*args):
+            return ilqr_iterate_dp(*args, riccati=riccati)
+    else:
+        iterate = ilqr_iterate_batch
 
     def cond(state):
         return jnp.logical_and(

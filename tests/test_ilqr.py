@@ -152,3 +152,51 @@ def test_ilqr_batch_matches_dp_on_arm():
     out_b = ilqr_solve(arm.step, arm.get_AB, get_Cs, quad, state0, cfg, "batch")
     c_dp, c_b = float(out_dp.cost), float(out_b.cost)
     assert abs(c_dp - c_b) < 0.05 * max(abs(c_dp), 1e-6), (c_dp, c_b)
+
+
+def test_sqrt_riccati_solves_stiff_arm_in_f32():
+    """Array-form (square-root) Riccati keeps the 1e10-weight-ratio arm
+    benchmark solvable in f32; the Cholesky form cannot take a step
+    (measured on TPU: sqrt 0.0494 vs f64 truth 0.0468; chol stuck at the
+    initial cost). f32 arrays stay f32 under the x64 test config."""
+    from ilqr_admm_tpu.ops.sqrt_riccati import ilqr_backward_sqrt
+    from ilqr_admm_tpu.ops.riccati import ilqr_backward
+
+    N = 100
+    f32 = jnp.float32
+    arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N, dtype=f32)
+    d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
+    target = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 1.0, 0.0], f32)
+    w = jnp.asarray([0.0] * n + [1e6] * n + [0.0, 1e6, 0.0], f32)
+    zs = jnp.stack([jnp.zeros(d, f32), target])
+    Qs = jnp.stack([jnp.zeros((d, d), f32), jnp.diag(w)])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, 1e-4, m)
+    assert quad.Q.dtype == f32
+
+    x0 = arm.initial_state(jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4], f32))
+    u0 = jnp.ones((N, m), f32)
+
+    def get_Cs(xs, us):
+        return quad_cost_model(quad.Q, quad.xd, quad.R, xs, us)
+
+    cfg = ILQRConfig(max_iter=30, max_line_search_iter=20)
+    s0 = ilqr_init(arm.step, quad, x0, u0)
+    out_sqrt = ilqr_solve(arm.step, arm.get_AB, get_Cs, quad, s0, cfg, "dp",
+                          riccati="sqrt")
+    assert out_sqrt.cost.dtype == f32
+    assert float(out_sqrt.cost) < 0.1, float(out_sqrt.cost)  # f64 truth 0.047
+
+    # equivalence of the two forms at full precision
+    arm64 = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N, dtype=jnp.float64)
+    quad64 = viapoint_cost(zs.astype(jnp.float64), Qs.astype(jnp.float64), seq,
+                           1e-4, m)
+    cts, Cts = quad_cost_model(quad64.Q, quad64.xd, quad64.R,
+                               s0.x_nom.astype(jnp.float64),
+                               u0.astype(jnp.float64))
+    A64, B64 = arm64.get_AB(s0.x_nom.astype(jnp.float64), u0.astype(jnp.float64))
+    K1, k1 = ilqr_backward(A64, B64, Cts, cts)
+    K2, k2 = ilqr_backward_sqrt(A64, B64, Cts, cts)
+    scale = float(jnp.max(jnp.abs(K1))) + 1e-30
+    assert float(jnp.max(jnp.abs(K1 - K2))) / scale < 1e-8
