@@ -179,14 +179,14 @@ def main():
     arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / Na)
     d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
     target = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 1.0, 0.0], f32)
-    # f32-safe weights: the reference x_std=1e6 (ratio 1e10) needs f64 —
-    # validated in RESULTS.md; here 1e4/1e-2 keeps the same task in f32.
-    w = jnp.asarray([0.0] * n + [1e4] * n + [0.0, 1e4, 0.0], f32)
+    # full-stiff reference weights (ratio 1e10): kept in f32 by the
+    # square-root (array-form) Riccati backward pass
+    w = jnp.asarray([0.0] * n + [1e6] * n + [0.0, 1e6, 0.0], f32)
     zs = jnp.stack([jnp.zeros(d, f32), target])
     Qs = jnp.stack([jnp.zeros((d, d), f32), jnp.diag(w)])
     seq = np.zeros(Na, dtype=np.int32)
     seq[-1] = 1
-    aquad = viapoint_cost(zs, Qs, seq, 1e-2, m)
+    aquad = viapoint_cost(zs, Qs, seq, 1e-4, m)
     x0a = arm.initial_state(jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4], f32))
     u0a = jnp.ones((Na, m), f32)
 
@@ -197,10 +197,11 @@ def main():
         with jax.default_matmul_precision("highest"):
             s0 = ilqr_init(arm.step, aquad, x0a, u0a)
             return ilqr_solve(arm.step, arm.get_AB, get_Cs_a, aquad, s0,
-                              ILQRConfig(max_iter=30, max_line_search_iter=20)).cost
+                              ILQRConfig(max_iter=30, max_line_search_iter=20),
+                              riccati="sqrt").cost
 
-    timed("iLQR 3DoF arm (N=100, f32-safe weights)", 131.0, jax.jit(arm_solve),
-          oracle=lambda c: f"cost={float(c):.4f}")
+    timed("iLQR 3DoF arm (N=100, sqrt Riccati, f32)", 131.0, jax.jit(arm_solve),
+          oracle=lambda c: f"cost={float(c):.4f} (f64 truth 0.047; ref 0.118)")
 
     # ---- 9. ilqr_admm 3DoF arm (ref 639 ms)
     x_nom_a = rollout_nonlinear(arm.step, x0a, u0a)
@@ -226,11 +227,11 @@ def main():
             rho_x=jnp.asarray(rho_xa), rho_u=1e-3,
             max_iter=20, max_admm_iter=10,
             alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:5],
-            tol=1e-4,
+            tol=1e-4, method="dp", riccati="sqrt",
         ).cost
     )
-    timed("ilqr_admm 3DoF arm state+control (f32-safe weights)", 639.0, arm_admm,
-          oracle=lambda c: f"cost={float(c):.4f}")
+    timed("ilqr_admm 3DoF arm state+control (sqrt Riccati, f32)", 639.0, arm_admm,
+          oracle=lambda c: f"cost={float(c):.4f} (ref 0.1996)")
 
     # ---- 10. batched throughput headline (no single-instance reference)
     BATCH = 4096

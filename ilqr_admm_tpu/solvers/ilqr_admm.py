@@ -58,6 +58,7 @@ def _ilqr_admm_impl(
     outer_tol: float = 1e-3,
     osc_tol: float = 1e-3,
     method: str = "batch",
+    riccati: str = "chol",
 ) -> ILQRADMMResult:
     """Run constrained iLQR-ADMM from a nominal trajectory guess.
 
@@ -65,13 +66,14 @@ def _ilqr_admm_impl(
     method='dp': Riccati x-update with closed-loop line search — O(N)
     memory (no dense lifted matrices), the solution the reference left
     as "TODO: add dp solution" (`isls.py:411`). Preferred for long
-    horizons.
+    horizons; riccati='sqrt' uses the array-form backward pass
+    (f32-stable at stiff weights, Cux = 0 required).
     """
     if method == "dp":
         return _ilqr_admm_dp(
             f, get_AB, cost_fn, x_nom0, u_nom0, get_Cs, quad_cost,
             project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
-            alphas, alpha, tol, outer_tol, osc_tol,
+            alphas, alpha, tol, outer_tol, osc_tol, riccati,
         )
     N, d = x_nom0.shape
     m = u_nom0.shape[-1]
@@ -188,11 +190,16 @@ def _ilqr_admm_impl(
 def _ilqr_admm_dp(
     f, get_AB, cost_fn, x_nom0, u_nom0, get_Cs, quad_cost,
     project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
-    alphas, alpha, tol, outer_tol, osc_tol,
+    alphas, alpha, tol, outer_tol, osc_tol, riccati="chol",
 ) -> ILQRADMMResult:
     """DP (Riccati) x-update iLQR-ADMM — scan-based, O(N) memory."""
     from ilqr_admm_tpu.ops.riccati import ilqr_backward, quad_cost_model
     from ilqr_admm_tpu.ops.rollout import rollout_closed_loop
+
+    if riccati == "sqrt":
+        from ilqr_admm_tpu.ops.sqrt_riccati import ilqr_backward_sqrt as backward
+    else:
+        backward = ilqr_backward
 
     N, d = x_nom0.shape
     m = u_nom0.shape[-1]
@@ -234,7 +241,7 @@ def _ilqr_admm_dp(
                 )
                 Cts_a = Cts_a.at[:, d:, d:].add(2.0 * Rr)
 
-            K, k = ilqr_backward(A, B, Cts_a, cts_a)
+            K, k = backward(A, B, Cts_a, cts_a)
 
             def rollout_alpha(a):
                 return rollout_closed_loop(f, x_nom[0], K, a * k, x_nom, u_nom)
