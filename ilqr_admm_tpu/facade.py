@@ -501,7 +501,7 @@ class iSLS(_Base):
     def solve(
         self, get_AB, get_Cs=None, is_dynamics_linear=False, is_cost_quadratic=False,
         method="dp", max_iter=100, max_line_search_iter=25, tol_fun=1e-5,
-        tol_grad=1e-4, verbose=False,
+        tol_grad=1e-4, verbose=False, riccati="chol",
     ):
         """iLQR outer loop (reference `isls.py:54-132`).
 
@@ -521,6 +521,9 @@ class iSLS(_Base):
 
         @jax.jit
         def step(state):
+            if method == "dp":
+                return iterate(f, get_AB, get_Cs_fn, cost_fn, state, alphas,
+                               riccati=riccati)
             return iterate(f, get_AB, get_Cs_fn, cost_fn, state, alphas)
 
         state = ILQRState(
@@ -663,6 +666,7 @@ class iSLS(_Base):
         max_iter=20, max_line_search_iter=20, max_admm_iter=20, rho_x=None,
         rho_u=None, alpha=1.0, tol=1e-3, verbose=False, log=False,
         k_max=None, threshold=None, max_line_search=None,
+        method="batch", riccati="chol",
     ):
         """Constrained iLQR-ADMM (reference `isls.py:379-501`).
 
@@ -684,6 +688,7 @@ class iSLS(_Base):
             project_x=project_x or None, project_u=project_u or None,
             rho_x=rho_x, rho_u=rho_u, max_iter=max_iter,
             max_admm_iter=max_admm_iter, alphas=alphas, alpha=alpha, tol=tol,
+            method=method, riccati=riccati,
         )
         self.x_nom, self.u_nom = res.x_nom, res.u_nom
         self._cost = float(res.cost)
