@@ -24,8 +24,6 @@ v_new = cx + K^T cu + (A + B K)^T v, which is benign (no factorization).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax
