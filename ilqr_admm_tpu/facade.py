@@ -336,7 +336,7 @@ class SLS(_Base):
     def ADMM_LQT_Batch(
         self, x0, project_x=None, project_u=None, max_iter=20, rho_x=None,
         rho_u=None, alpha=1.0, tol=1e-3, verbose=False, log=False,
-        use_qr=False,
+        use_qr=None,
     ):
         """Constrained LQT, batch x-update (reference `sls.py:252-293`).
 
@@ -345,6 +345,14 @@ class SLS(_Base):
         project_x = project_x or None
         project_u = project_u or None
         cfg = ADMMConfig(max_iter=max_iter, alpha=alpha, tol=tol, log=log)
+        if use_qr is None:
+            # auto-select the square-root x-update when the cost is too
+            # stiff for f32 normal equations (docs/architecture.md §4)
+            from ilqr_admm_tpu.utils.precision import stiffness_ratio
+
+            use_qr = (not jax.config.jax_enable_x64) and stiffness_ratio(
+                self.quad_cost.Q, self.quad_cost.R
+            ) > 1e5
         x, u, info = lqt_admm_batch(
             self.A, self.B, self.quad_cost, jnp.asarray(x0, _dtype()),
             project_x, project_u, rho_x, rho_u, cfg, use_qr=use_qr,

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import pytest
 
 from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
-from ilqr_admm_tpu.problem import ADMMConfig
+from ilqr_admm_tpu.problem import ADMMConfig, QuadCost
 from ilqr_admm_tpu.projections import project_bound
 from ilqr_admm_tpu.solvers.lqt import lqt_solve_batch
 from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_batch, lqt_admm_dp
@@ -169,3 +169,53 @@ def test_dp_operator_form_matches_scan_form():
     np.testing.assert_allclose(np.asarray(u_o), np.asarray(u_s), atol=1e-8)
     np.testing.assert_allclose(np.asarray(x_o), np.asarray(x_s), atol=1e-8)
     np.testing.assert_allclose(np.asarray(k_o), np.asarray(k_s), atol=1e-8)
+
+
+def test_admm_against_scipy_qp_oracle(rng):
+    """Independent oracle: control-bounded LQT is a bounded least-squares
+    problem; scipy.optimize.lsq_linear solves it exactly. Our ADMM (tight
+    tolerance) must match the oracle's optimum."""
+    from scipy.optimize import lsq_linear
+    from ilqr_admm_tpu.ops.lifted import build_Su, sw_x0
+    from ilqr_admm_tpu.solvers.lqt import block_diag_stacked
+
+    N, d, m = 30, 2, 1
+    for trial in range(3):
+        A_np = np.eye(d) + rng.normal(size=(d, d)) * 0.05
+        B_np = rng.normal(size=(d, m)) * 0.1
+        A = jnp.broadcast_to(jnp.asarray(A_np), (N, d, d))
+        B = jnp.broadcast_to(jnp.asarray(B_np), (N, d, m))
+        Qd = rng.uniform(0.1, 10.0, size=(N, d))
+        Q = jnp.asarray(np.stack([np.diag(q) for q in Qd]))
+        xd = jnp.asarray(rng.normal(size=(N, d)))
+        R = jnp.broadcast_to(jnp.eye(m) * 1e-2, (N, m, m))
+        cost = QuadCost(Q=Q, xd=xd, R=R)
+        x0 = jnp.asarray(rng.normal(size=d) * 0.3)
+        lo, hi = -0.8, 0.8
+
+        # scipy oracle: min ||sqrtQ (Su u - (xd - free))||^2 + ||sqrtR u||^2
+        Su = np.asarray(build_Su(A, B))
+        free = np.asarray(sw_x0(A, x0)).reshape(-1)
+        sqQ = np.sqrt(np.asarray(block_diag_stacked(Q)))
+        sqR = np.sqrt(np.asarray(block_diag_stacked(R)))
+        G = np.concatenate([sqQ @ Su, sqR], axis=0)
+        c = np.concatenate([sqQ @ (np.asarray(cost.lifted_xd()) - free),
+                            np.zeros(N * m)])
+        oracle = lsq_linear(G, c, bounds=(lo, hi), tol=1e-14)
+        u_star = oracle.x
+
+        proj = lambda u: project_bound(u, lo, hi)
+        _, u_admm, info = lqt_admm_batch(
+            A, B, cost, x0, project_u=proj, rho_u=1e-1,
+            cfg=ADMMConfig(max_iter=3000, tol=1e-9, stall_tol=1e-12),
+        )
+        u_admm = np.clip(np.asarray(u_admm), lo, hi)  # feasible iterate
+        # optimality oracle: relative objective gap vs the exact QP optimum
+        def obj(u):
+            r = G @ u - c
+            return float(r @ r)
+
+        gap = (obj(u_admm) - obj(u_star)) / max(obj(u_star), 1e-12)
+        assert gap < 1e-5, (trial, gap)
+        # iterate distance (loose — ADMM convergence rate is rho-dependent)
+        assert float(np.max(np.abs(u_admm - u_star))) < 1e-2, trial
