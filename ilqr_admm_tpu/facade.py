@@ -523,9 +523,21 @@ class iSLS(_Base):
         cost_fn = self._cost_fn()
         get_Cs_fn = self._get_Cs_or_quad(get_Cs)
         alphas = jnp.asarray(self.alphas[:max_line_search_iter], _dtype())
-        iterate = ilqr_iterate_dp if method == "dp" else ilqr_iterate_batch
-        if method == "sls":
-            raise NotImplementedError("method='sls' (reference parity, `isls.py:121-122`)")
+        from ilqr_admm_tpu.solvers.ilqr import ilqr_iterate_sls
+
+        # method='sls' completes the triple the reference leaves
+        # unimplemented (`isls.py:121-122`): response-map synthesis +
+        # history-feedback line search each outer iteration.
+        iterates = {
+            "dp": ilqr_iterate_dp,
+            "batch": ilqr_iterate_batch,
+            "sls": ilqr_iterate_sls,
+        }
+        if method not in iterates:
+            raise ValueError(
+                f"unknown method {method!r}; expected one of {sorted(iterates)}"
+            )
+        iterate = iterates[method]
 
         @jax.jit
         def step(state):
@@ -560,6 +572,10 @@ class iSLS(_Base):
                 print("Maximum iterations reached.")
         if method == "dp" and aux is not None:
             self._K, self._k = aux
+        elif method == "sls" and aux is not None:
+            # lifted history-feedback gains (Nm, Nd) / (Nm,) in delta
+            # coordinates — usable directly with get_trajectory_sls.
+            self._K_sls, self._k_sls = aux
         return self
 
     def solve_ilqr(self, get_AB, get_Cs=None, max_ilqr_iter=100,

@@ -161,6 +161,23 @@ class ADMMConfig:
     tol: float = 1e-3
     stall_tol: Optional[float] = None  # defaults to tol when None
     log: bool = False
+    # Residual-balancing adaptive penalty (Boyd et al. 2011, §3.4.1):
+    # scale all rho's by tau when the primal residual exceeds mu x the
+    # dual residual, and divide when the reverse holds; scaled duals are
+    # rescaled accordingly. f_argmin must then accept a third rho_scale
+    # argument. Not in the reference (fixed rho throughout) — cuts
+    # iteration counts on badly-scaled problems.
+    adaptive_rho: bool = False
+    rho_mu: float = 10.0
+    rho_tau: float = 2.0
+    rho_freq: int = 4  # balance every rho_freq iterations
+    # stop adapting after this many iterations: each penalty change
+    # perturbs the scaled duals and restarts the linear-convergence tail,
+    # so late adaptation trades a settled tail for no benefit (Boyd
+    # §3.4.1 notes convergence proofs assume rho eventually fixed).
+    rho_freeze_after: int = 100
+    rho_scale_min: float = 1e-3
+    rho_scale_max: float = 1e3
 
     @property
     def stall(self) -> float:

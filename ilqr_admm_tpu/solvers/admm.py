@@ -53,6 +53,8 @@ def admm_solve(
     lmb_u_init=None,
     weight_x: Optional[Callable] = None,
     weight_u: Optional[Callable] = None,
+    rho_weight_x: Optional[Callable] = None,
+    rho_weight_u: Optional[Callable] = None,
     dtype=jnp.float32,
 ):
     """Run scaled two-block ADMM.
@@ -68,6 +70,12 @@ def admm_solve(
     weight_x / weight_u: optional callables r -> weighted r applied inside
     the residual norms (weighted-residual ADMM variants).
 
+    rho_weight_x / rho_weight_u: base-penalty weightings r -> rho_base·r
+    used only by the adaptive-rho balancing rule — the true dual residual
+    is rho·(z_new - z_old) (Boyd §3.3), and the base rho lives in the
+    caller's Qr/Rr matrices which this driver cannot see. Identity when
+    omitted (i.e. base penalty treated as 1).
+
     Returns (x_x, x_u, aux, lmb_x, lmb_u, z_x, z_u, info: ADMMInfo).
     """
     has_x = project_x is not None
@@ -77,6 +85,11 @@ def admm_solve(
 
     wx = weight_x if weight_x is not None else (lambda r: r)
     wu = weight_u if weight_u is not None else (lambda r: r)
+    rwx = rho_weight_x if rho_weight_x is not None else (lambda r: r)
+    rwu = rho_weight_u if rho_weight_u is not None else (lambda r: r)
+    adaptive = cfg.adaptive_rho
+    if adaptive and cfg.rho_freq < 1:
+        raise ValueError(f"rho_freq must be >= 1, got {cfg.rho_freq}")
 
     z_x = jnp.zeros(shape_x, dtype) if z_x_init is None else jnp.asarray(z_x_init)
     z_u = jnp.zeros(shape_u, dtype) if z_u_init is None else jnp.asarray(z_u_init)
@@ -84,9 +97,16 @@ def admm_solve(
     lmb_u = jnp.zeros(shape_u, dtype) if lmb_u_init is None else jnp.asarray(lmb_u_init)
 
     # Shape-infer the x-update outputs to build a zero init for the carry.
-    out_shapes = jax.eval_shape(
-        f_argmin, z_x - lmb_x if has_x else None, z_u - lmb_u if has_u else None
-    )
+    one = jnp.asarray(1.0, dtype)
+    if adaptive:
+        out_shapes = jax.eval_shape(
+            f_argmin, z_x - lmb_x if has_x else None,
+            z_u - lmb_u if has_u else None, one,
+        )
+    else:
+        out_shapes = jax.eval_shape(
+            f_argmin, z_x - lmb_x if has_x else None, z_u - lmb_u if has_u else None
+        )
     zeros_out = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), out_shapes
     )
@@ -99,15 +119,16 @@ def admm_solve(
         return jnp.logical_and(j < cfg.max_iter, status == SolveStatus.RUNNING)
 
     def body(state):
-        j, z_x, z_u, lmb_x, lmb_u, _, prim, dual, logs, status = state
+        j, z_x, z_u, lmb_x, lmb_u, _, prim, dual, logs, s, status = state
 
         reg_x = z_x - lmb_x if has_x else None
         reg_u = z_u - lmb_u if has_u else None
-        out = f_argmin(reg_x, reg_u)
+        out = f_argmin(reg_x, reg_u, s) if adaptive else f_argmin(reg_x, reg_u)
         x_x, x_u = out[0], out[1]
 
         prim_new = jnp.asarray(0.0, dtype)
         dual_new = jnp.asarray(0.0, dtype)
+        dual_bal = jnp.asarray(0.0, dtype)
 
         if has_x:
             z_relaxed = cfg.alpha * x_x + (1.0 - cfg.alpha) * z_x
@@ -116,6 +137,8 @@ def admm_solve(
             lmb_x = lmb_x + r_x
             prim_new = prim_new + _norm(wx(r_x))
             dual_new = dual_new + _norm(wx(z_x_new - z_x))
+            if adaptive:
+                dual_bal = dual_bal + _norm(rwx(z_x_new - z_x))
             z_x = z_x_new
         if has_u:
             z_relaxed = cfg.alpha * x_u + (1.0 - cfg.alpha) * z_u
@@ -124,6 +147,8 @@ def admm_solve(
             lmb_u = lmb_u + r_u
             prim_new = prim_new + _norm(wu(r_u))
             dual_new = dual_new + _norm(wu(z_u_new - z_u))
+            if adaptive:
+                dual_bal = dual_bal + _norm(rwu(z_u_new - z_u))
             z_u = z_u_new
 
         logs = logs.at[j].set(jnp.stack([prim_new, dual_new]))
@@ -133,18 +158,47 @@ def admm_solve(
         dual_change = jnp.abs(dual - dual_new) / (dual + _EPS)
         stalled = jnp.logical_and(prim_change < cfg.stall, dual_change < cfg.stall)
 
+        s_new = s
+        if adaptive:
+            # residual balancing (Boyd et al. 2011, §3.4.1): grow rho when
+            # the primal residual dominates, shrink when the dual does;
+            # rescale scaled duals lambda = y/rho by the inverse factor.
+            # Updates run every rho_freq iterations — per-iteration
+            # updates ping-pong between grow/shrink and stall convergence.
+            dual_true = s * dual_bal  # rho·(z_new - z_old), Boyd (3.12)
+            fac = jnp.where(
+                prim_new > cfg.rho_mu * dual_true,
+                jnp.asarray(cfg.rho_tau, dtype),
+                jnp.where(
+                    dual_true > cfg.rho_mu * prim_new,
+                    jnp.asarray(1.0 / cfg.rho_tau, dtype),
+                    one,
+                ),
+            )
+            adapt_now = jnp.logical_and(
+                j % cfg.rho_freq == cfg.rho_freq - 1, j < cfg.rho_freeze_after
+            )
+            fac = jnp.where(adapt_now, fac, one)
+            s_new = jnp.clip(s * fac, cfg.rho_scale_min, cfg.rho_scale_max)
+            rescale = s / s_new
+            lmb_x = lmb_x * rescale
+            lmb_u = lmb_u * rescale
+
         status_new = jnp.where(
             converged,
             SolveStatus.CONVERGED,
             jnp.where(stalled, SolveStatus.STALLED, SolveStatus.RUNNING),
         ).astype(jnp.int32)
-        return (j + 1, z_x, z_u, lmb_x, lmb_u, out, prim_new, dual_new, logs, status_new)
+        return (
+            j + 1, z_x, z_u, lmb_x, lmb_u, out, prim_new, dual_new, logs,
+            s_new, status_new,
+        )
 
     state0 = (
         jnp.int32(0), z_x, z_u, lmb_x, lmb_u, zeros_out, big, big, logs0,
-        jnp.int32(SolveStatus.RUNNING),
+        one, jnp.int32(SolveStatus.RUNNING),
     )
-    j, z_x, z_u, lmb_x, lmb_u, out, prim, dual, logs, status = lax.while_loop(
+    j, z_x, z_u, lmb_x, lmb_u, out, prim, dual, logs, _s, status = lax.while_loop(
         cond, body, state0
     )
     status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status)

@@ -200,3 +200,80 @@ def test_sqrt_riccati_solves_stiff_arm_in_f32():
     K2, k2 = ilqr_backward_sqrt(A64, B64, Cts, cts)
     scale = float(jnp.max(jnp.abs(K1))) + 1e-30
     assert float(jnp.max(jnp.abs(K1 - K2))) / scale < 1e-8
+
+
+def test_ilqr_sls_one_step_exact_on_lq():
+    """On a linear-quadratic problem, one method='sls' iteration lands on
+    the LQT optimum (cross-solver oracle vs lqt_solve_batch). Completes
+    the method triple the reference leaves unimplemented
+    (`isls.py:121-122`)."""
+    from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+    from ilqr_admm_tpu.solvers.ilqr import ilqr_iterate_sls
+    from ilqr_admm_tpu.solvers.lqt import lqt_solve_batch
+    from ilqr_admm_tpu.problem import line_search_alphas
+
+    N, nb_dim = 40, 2
+    di = DoubleIntegrator(nb_dim=nb_dim, nb_deriv=2, dt=0.05)
+    d, m = di.x_dim, di.u_dim
+    target = jnp.asarray([1.0, 0.5, 0.0, 0.0])
+    zs = jnp.stack([jnp.zeros(d), target])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, 1e-2, m)
+
+    x0 = jnp.zeros(d)
+    u0 = jnp.zeros((N, m))
+
+    def get_Cs(xs, us):
+        return quad_cost_model(quad.Q, quad.xd, quad.R, xs, us)
+
+    def get_AB(xs, us):
+        return di.AB(N)
+
+    state0 = ilqr_init(di.step, quad, x0, u0)
+    cfg = ILQRConfig(max_iter=5, max_line_search_iter=25)
+    alphas = line_search_alphas(cfg, x0.dtype)
+    state1, accept, (K, k) = ilqr_iterate_sls(
+        di.step, get_AB, get_Cs, quad, state0, alphas
+    )
+    assert bool(accept)
+
+    A, B = di.AB(N)
+    xs_b, us_b = lqt_solve_batch(A, B, quad, x0)
+    c_star = float(quad(xs_b, us_b))
+    assert abs(float(state1.cost) - c_star) < 1e-6 * max(abs(c_star), 1.0), (
+        float(state1.cost), c_star)
+
+    # lifted feedback gains are causal: K[t-block, s-block] = 0 for s > t
+    K4 = np.asarray(K).reshape(N, m, N, d)
+    for t in range(0, N, 7):
+        assert np.abs(K4[t, :, t + 1:]).max() < 1e-8
+
+
+def test_ilqr_sls_method_matches_dp_on_arm():
+    """Nonlinear cross-solver oracle: method='sls' reaches the DP cost."""
+    N = 60
+    arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N)
+    d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
+    x_std, u_std = 1e3, 1e-3
+    target = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 1.0, 0.0])
+    w = jnp.asarray([0.0] * n + [x_std] * n + [x_std, x_std, 0.0])
+    zs = jnp.stack([jnp.zeros(d), target])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.diag(w)])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, u_std, m)
+
+    x0 = arm.initial_state(jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4]))
+    u0 = jnp.zeros((N, m))
+
+    def get_Cs(xs, us):
+        return quad_cost_model(quad.Q, quad.xd, quad.R, xs, us)
+
+    state0 = ilqr_init(arm.step, quad, x0, u0)
+    cfg = ILQRConfig(max_iter=40, max_line_search_iter=25)
+    out_dp = ilqr_solve(arm.step, arm.get_AB, get_Cs, quad, state0, cfg, "dp")
+    out_sls = ilqr_solve(arm.step, arm.get_AB, get_Cs, quad, state0, cfg, "sls")
+    c_dp, c_sls = float(out_dp.cost), float(out_sls.cost)
+    assert abs(c_dp - c_sls) < 0.05 * max(abs(c_dp), 1e-6), (c_dp, c_sls)
