@@ -36,6 +36,12 @@ class ILQRADMMResult(NamedTuple):
     outer_iters: jax.Array
     status: jax.Array
     cost_log: jax.Array  # (max_iter,) outer-iteration costs (inf beyond)
+    # final ADMM consensus/dual state — warm-start the next solve with
+    # these (receding-horizon MPC reuses them across ticks)
+    z_x: jax.Array = None
+    z_u: jax.Array = None
+    lmb_x: jax.Array = None
+    lmb_u: jax.Array = None
 
 
 def _ilqr_admm_impl(
@@ -59,6 +65,7 @@ def _ilqr_admm_impl(
     osc_tol: float = 1e-3,
     method: str = "batch",
     riccati: str = "chol",
+    warm=None,  # optional (z_x, z_u, lmb_x, lmb_u) flattened warm start
 ) -> ILQRADMMResult:
     """Run constrained iLQR-ADMM from a nominal trajectory guess.
 
@@ -73,7 +80,7 @@ def _ilqr_admm_impl(
         return _ilqr_admm_dp(
             f, get_AB, cost_fn, x_nom0, u_nom0, get_Cs, quad_cost,
             project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
-            alphas, alpha, tol, outer_tol, osc_tol, riccati,
+            alphas, alpha, tol, outer_tol, osc_tol, riccati, warm,
         )
     N, d = x_nom0.shape
     m = u_nom0.shape[-1]
@@ -172,25 +179,30 @@ def _ilqr_admm_impl(
         return jnp.logical_and(it < max_iter, status == SolveStatus.RUNNING)
 
     cost0 = cost_fn(x_nom0, u_nom0)
+    if warm is None:
+        warm = (
+            jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+            jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+        )
     carry0 = (
         x_nom0, u_nom0, cost0, jnp.int32(0), jnp.int32(SolveStatus.RUNNING),
-        jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
-        jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+        warm[0], warm[1], warm[2], warm[3],
         jnp.full((max_iter,), jnp.inf, dtype),
     )
-    x_nom, u_nom, cost, it, status, *_rest, cost_log = lax.while_loop(
+    x_nom, u_nom, cost, it, status, z_x, z_u, l_x, l_u, cost_log = lax.while_loop(
         outer_cond, outer_body, carry0
     )
     status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status).astype(jnp.int32)
     return ILQRADMMResult(
-        x_nom=x_nom, u_nom=u_nom, cost=cost, outer_iters=it, status=status, cost_log=cost_log
+        x_nom=x_nom, u_nom=u_nom, cost=cost, outer_iters=it, status=status,
+        cost_log=cost_log, z_x=z_x, z_u=z_u, lmb_x=l_x, lmb_u=l_u,
     )
 
 
 def _ilqr_admm_dp(
     f, get_AB, cost_fn, x_nom0, u_nom0, get_Cs, quad_cost,
     project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
-    alphas, alpha, tol, outer_tol, osc_tol, riccati="chol",
+    alphas, alpha, tol, outer_tol, osc_tol, riccati="chol", warm=None,
 ) -> ILQRADMMResult:
     """DP (Riccati) x-update iLQR-ADMM — scan-based, O(N) memory."""
     from ilqr_admm_tpu.ops.riccati import ilqr_backward, quad_cost_model
@@ -285,18 +297,23 @@ def _ilqr_admm_dp(
         return jnp.logical_and(it < max_iter, status == SolveStatus.RUNNING)
 
     cost0 = cost_fn(x_nom0, u_nom0)
+    if warm is None:
+        warm = (
+            jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+            jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+        )
     carry0 = (
         x_nom0, u_nom0, cost0, jnp.int32(0), jnp.int32(SolveStatus.RUNNING),
-        jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
-        jnp.zeros((N * d,), dtype), jnp.zeros((N * m,), dtype),
+        warm[0], warm[1], warm[2], warm[3],
         jnp.full((max_iter,), jnp.inf, dtype),
     )
-    x_nom, u_nom, cost, it, status, *_rest, cost_log = lax.while_loop(
+    x_nom, u_nom, cost, it, status, z_x, z_u, l_x, l_u, cost_log = lax.while_loop(
         outer_cond, outer_body, carry0
     )
     status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status).astype(jnp.int32)
     return ILQRADMMResult(
-        x_nom=x_nom, u_nom=u_nom, cost=cost, outer_iters=it, status=status, cost_log=cost_log
+        x_nom=x_nom, u_nom=u_nom, cost=cost, outer_iters=it, status=status,
+        cost_log=cost_log, z_x=z_x, z_u=z_u, lmb_x=l_x, lmb_u=l_u,
     )
 
 

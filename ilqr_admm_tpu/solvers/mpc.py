@@ -70,6 +70,117 @@ def make_mpc_step(
     return jax.jit(step)
 
 
+class MPCConstrainedState(NamedTuple):
+    """Warm-start state for constrained MPC: nominal trajectory plus the
+    ADMM consensus/dual variables carried across control ticks."""
+
+    x_nom: jax.Array  # (N, d)
+    u_nom: jax.Array  # (N, m)
+    z_x: jax.Array  # (N*d,)
+    z_u: jax.Array  # (N*m,)
+    lmb_x: jax.Array  # (N*d,)
+    lmb_u: jax.Array  # (N*m,)
+
+
+def mpc_constrained_init(f: Callable, x0, u_guess) -> MPCConstrainedState:
+    xs = rollout_nonlinear(f, x0, u_guess)
+    N, d = xs.shape
+    m = u_guess.shape[-1]
+    z = jnp.zeros((N * d,), xs.dtype)
+    zu = jnp.zeros((N * m,), xs.dtype)
+    return MPCConstrainedState(
+        x_nom=xs, u_nom=u_guess, z_x=xs.reshape(-1), z_u=u_guess.reshape(-1),
+        lmb_x=z, lmb_u=zu,
+    )
+
+
+def _shift_flat(v, N, dim):
+    """Shift a flattened (N*dim,) trajectory-shaped vector one step
+    earlier in time, repeating the terminal block."""
+    vt = v.reshape(N, dim)
+    return jnp.concatenate([vt[1:], vt[-1:]], axis=0).reshape(-1)
+
+
+def make_mpc_step_constrained(
+    f: Callable,
+    get_AB: Callable,
+    cost_fn: Callable,
+    get_Cs: Callable = None,
+    quad_cost=None,
+    project_x: Callable = None,
+    project_u: Callable = None,
+    rho_x=None,
+    rho_u=None,
+    n_outer_iters: int = 2,
+    n_admm_iters: int = 5,
+    n_line_search: int = 10,
+    method: str = "dp",
+):
+    """Build a jitted *constrained* MPC step using bounded-iteration
+    iLQR-ADMM with duals warm-started across ticks.
+
+    Not in the reference (its replanning is linear/unconstrained-only,
+    `sls.py:244-248`). Each tick:
+
+    1. shift nominal trajectory AND ADMM consensus/dual variables one
+       step (repeat the terminal block) — the shifted duals are near the
+       new tick's optimal duals, so a handful of ADMM iterations
+       suffices;
+    2. run `n_outer_iters` outer iLQR-ADMM iterations (each with
+       `n_admm_iters` inner ADMM iterations) from the measured state;
+    3. return the first control and the new warm-start state.
+
+    Returns step: (MPCConstrainedState, x_measured) -> (u_apply, state').
+    """
+    from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
+
+    if n_outer_iters < 1 or n_admm_iters < 1:
+        raise ValueError(
+            "n_outer_iters and n_admm_iters must be >= 1, got "
+            f"{n_outer_iters}, {n_admm_iters}"
+        )
+    alphas = 10.0 ** jnp.linspace(0.0, -3.0, n_line_search)
+
+    def step(state: MPCConstrainedState, x_measured):
+        N, d = state.x_nom.shape
+        m = state.u_nom.shape[-1]
+        u_shift = jnp.concatenate([state.u_nom[1:], state.u_nom[-1:]], axis=0)
+        xs = rollout_nonlinear(f, x_measured, u_shift)
+        warm = (
+            _shift_flat(state.z_x, N, d),
+            _shift_flat(state.z_u, N, m),
+            _shift_flat(state.lmb_x, N, d),
+            _shift_flat(state.lmb_u, N, m),
+        )
+        res = ilqr_admm(
+            f, get_AB, cost_fn, xs, u_shift,
+            get_Cs=get_Cs, quad_cost=quad_cost,
+            project_x=project_x, project_u=project_u,
+            rho_x=rho_x, rho_u=rho_u,
+            max_iter=n_outer_iters, max_admm_iter=n_admm_iters,
+            alphas=alphas.astype(xs.dtype),
+            # run the full bounded budget every tick: convergence
+            # tolerances effectively disabled
+            tol=0.0, outer_tol=0.0, osc_tol=0.0,
+            method=method, warm=warm,
+        )
+        new_state = MPCConstrainedState(
+            x_nom=res.x_nom, u_nom=res.u_nom,
+            z_x=res.z_x, z_u=res.z_u, lmb_x=res.lmb_x, lmb_u=res.lmb_u,
+        )
+        # With a control projection, apply the projected first control:
+        # truncated ADMM leaves the x-update iterate slightly infeasible,
+        # while one extra projection guarantees the input constraint
+        # exactly (standard real-time ADMM-MPC practice).
+        u_apply = res.u_nom[0]
+        if project_u is not None:
+            u_flat = res.u_nom.reshape(-1)
+            u_apply = project_u(u_flat).reshape(N, m)[0]
+        return u_apply, new_state
+
+    return jax.jit(step)
+
+
 def run_mpc(
     f_plant: Callable,
     mpc_step: Callable,
