@@ -16,13 +16,23 @@ from ilqr_admm_tpu.solvers.ilqr import (
     ilqr_init,
     ilqr_iterate_dp,
     ilqr_iterate_batch,
+    ilqr_iterate_sls,
     ilqr_solve,
 )
 from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
 from ilqr_admm_tpu.solvers.isls_admm import isls_admm
 from ilqr_admm_tpu.solvers.batched import make_batched_lqt_admm
 from ilqr_admm_tpu.solvers.batched_sls import make_batched_sls_admm
-from ilqr_admm_tpu.solvers.mpc import MPCState, make_mpc_step, mpc_init, run_mpc
+from ilqr_admm_tpu.solvers.mpc import (
+    MPCConstrainedState,
+    MPCState,
+    make_mpc_step,
+    make_mpc_step_constrained,
+    mpc_constrained_init,
+    mpc_init,
+    run_mpc,
+)
+from ilqr_admm_tpu.solvers.implicit import fixed_point, lqt_admm_implicit
 
 __all__ = [
     "lqt_solve_batch",
@@ -42,6 +52,7 @@ __all__ = [
     "ilqr_init",
     "ilqr_iterate_dp",
     "ilqr_iterate_batch",
+    "ilqr_iterate_sls",
     "ilqr_solve",
     "ilqr_admm",
     "isls_admm",
@@ -51,4 +62,9 @@ __all__ = [
     "make_mpc_step",
     "mpc_init",
     "run_mpc",
+    "MPCConstrainedState",
+    "make_mpc_step_constrained",
+    "mpc_constrained_init",
+    "fixed_point",
+    "lqt_admm_implicit",
 ]
