@@ -1,0 +1,85 @@
+"""Fused Pallas robust SLS-ADMM kernel vs XLA GEMM path on TPU."""
+
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.stats import norm
+
+from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+from ilqr_admm_tpu.ops.pallas_sls import make_pallas_sls_admm
+from ilqr_admm_tpu.projections import project_set_convex, project_soc_unit
+from ilqr_admm_tpu.solvers.batched_sls import make_batched_sls_admm
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+BASELINE_S = 0.207  # reference ADMM_SLS robust control bounds (BASELINE.md)
+
+
+def main(batch=1024, n_iters=50, n_cons=20):
+    N = 100
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d, m = plant.x_dim, plant.u_dim
+    f32 = jnp.float32
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])]).astype(f32)
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3]).astype(f32)
+    seq = np.zeros(N, dtype=np.int32); seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, m)
+    A, B = plant.AB(N)
+    A, B = A.astype(f32), B.astype(f32)
+
+    psi_inv = float(norm.ppf(0.95))
+    mu = np.array([1.0, 0.0])
+    Au = np.diag(np.sqrt([0.0, 0.01]))
+    A_hi = np.concatenate([Au, (-mu / psi_inv)[None]], 0)
+    A_lo = np.concatenate([Au, (mu / psi_inv)[None]], 0)
+    b_fixed = np.zeros(3)
+    b_bound = np.array([0.0, 0.0, 1.0 / psi_inv])
+    cons_rho, rho_u = 10.0, 1e2
+
+    rng = np.random.default_rng(0)
+    bounds = jnp.asarray(rng.uniform(4.0, 8.0, batch), f32)
+
+    # XLA path
+    A_hi_j, A_lo_j = jnp.asarray(A_hi, f32), jnp.asarray(A_lo, f32)
+    def soc_proj(y, bound):
+        b = jnp.asarray(b_fixed, f32) + bound * jnp.asarray(b_bound, f32)
+        return project_set_convex(y, [A_hi_j, A_lo_j], [b, b],
+                                  [project_soc_unit] * 2, rho=cons_rho,
+                                  max_iter=n_cons, threshold=0.0, stall_tol=0.0)
+    solve_xla = make_batched_sls_admm(
+        A, B, cost, project_u=lambda y, p: jax.vmap(soc_proj)(y, p),
+        rho_u=rho_u, robust_dim=1, n_iters=n_iters)
+
+    solve_pl = make_pallas_sls_admm(
+        A, B, cost, [A_hi, A_lo], [b_fixed, b_fixed], [b_bound, b_bound],
+        rho_u=rho_u, robust_dim=1, n_iters=n_iters, n_cons_iters=n_cons,
+        cons_rho=cons_rho, batch_tile=256)
+
+    results = {}
+    for name, solve in [("xla", solve_xla), ("pallas", solve_pl)]:
+        du, phi, U = solve(bounds)
+        jax.block_until_ready(du)
+        best = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            du, phi, U = solve(bounds)
+            jax.block_until_ready(du)
+            best = min(best, time.perf_counter() - t0)
+        rate = batch / best
+        results[name] = (best, rate, du, U)
+        print(f"{name:7s}: {batch} syntheses in {best*1e3:.1f} ms -> {rate:,.0f}/s "
+              f"({rate * BASELINE_S:,.0f}x reference rate)")
+
+    du_x, U_x = results["xla"][2], results["xla"][3]
+    du_p, U_p = results["pallas"][2], results["pallas"][3]
+    err = float(jnp.max(jnp.abs(du_x - du_p))) / (float(jnp.max(jnp.abs(du_x))) + 1e-12)
+    print(f"max rel deviation pallas vs xla: {err:.3e}")
+    margin = jnp.abs(du_p) + psi_inv * np.sqrt(0.01) * jnp.abs(U_p[:, :, 1])
+    print(f"worst chance margin: {float(jnp.max(margin - bounds[:, None])):.4f} (<=0 is feasible)")
+    print(f"speedup pallas vs xla: {results['xla'][0]/results['pallas'][0]:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

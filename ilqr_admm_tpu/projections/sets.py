@@ -24,10 +24,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from ilqr_admm_tpu.projections.primitives import project_soc_unit
+from ilqr_admm_tpu.utils.precision import highest_precision
 
 _EPS = 1e-30
 
 
+@highest_precision
 def project_soc(z0, A, b, rho: float = 1.0, max_iter: int = 100, tol: float = 1e-5):
     """Project z0 onto {z : A z + b in SOC} via scaled ADMM.
 
@@ -73,6 +75,7 @@ def project_soc(z0, A, b, rho: float = 1.0, max_iter: int = 100, tol: float = 1e
     return z[0] if single else z
 
 
+@highest_precision
 def project_set_convex(
     x0,
     As: Sequence[jax.Array] = (),
@@ -146,6 +149,7 @@ def project_set_convex(
     return x[0] if single else x
 
 
+@highest_precision
 def project_set_convex_dykstra(
     x0,
     projections: Sequence[Callable] = (),

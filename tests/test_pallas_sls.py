@@ -1,0 +1,83 @@
+"""Fused Pallas robust SLS-ADMM kernel vs the XLA GEMM path.
+
+Same math, same iteration counts: solutions must agree closely, and
+chance-constraint margins must hold (SURVEY §3.3 SOC construction).
+Interpret mode (CPU) — the TPU run is benchmarked in
+benchmarks/bench_pallas_sls.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.stats import norm
+
+from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+from ilqr_admm_tpu.ops.pallas_sls import make_pallas_sls_admm
+from ilqr_admm_tpu.projections import project_set_convex, project_soc_unit
+from ilqr_admm_tpu.solvers.batched_sls import make_batched_sls_admm
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+
+def _setup(N=20):
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d, m = plant.x_dim, plant.u_dim
+    f32 = jnp.float32
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])]).astype(f32)
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3]).astype(f32)
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, m)
+    A, B = plant.AB(N)
+    return A.astype(f32), B.astype(f32), cost, d, m
+
+
+def test_pallas_sls_matches_xla_path():
+    N = 20
+    A, B, cost, d, m = _setup(N)
+    f32 = jnp.float32
+
+    psi_inv = float(norm.ppf(0.95))
+    mu = np.array([1.0, 0.0])
+    Au = np.diag(np.sqrt([0.0, 0.01]))
+    A_hi = np.concatenate([Au, (-mu / psi_inv)[None]], 0)
+    A_lo = np.concatenate([Au, (mu / psi_inv)[None]], 0)
+    b_fixed = np.zeros(3)
+    b_bound = np.array([0.0, 0.0, 1.0 / psi_inv])
+
+    n_iters, n_cons, cons_rho, rho_u = 40, 20, 10.0, 1e2
+
+    # XLA reference path with identical fixed iteration counts
+    A_hi_j, A_lo_j = jnp.asarray(A_hi, f32), jnp.asarray(A_lo, f32)
+
+    def soc_proj(y, bound):
+        b = jnp.asarray(b_fixed, f32) + bound * jnp.asarray(b_bound, f32)
+        return project_set_convex(
+            y, [A_hi_j, A_lo_j], [b, b], [project_soc_unit] * 2,
+            rho=cons_rho, max_iter=n_cons, threshold=0.0, stall_tol=0.0,
+        )
+
+    solve_xla = make_batched_sls_admm(
+        A, B, cost, project_u=lambda y, p: jax.vmap(soc_proj)(y, p),
+        rho_u=rho_u, robust_dim=1, n_iters=n_iters,
+    )
+    solve_pl = make_pallas_sls_admm(
+        A, B, cost, [A_hi, A_lo], [b_fixed, b_fixed], [b_bound, b_bound],
+        rho_u=rho_u, robust_dim=1, n_iters=n_iters, n_cons_iters=n_cons,
+        cons_rho=cons_rho, batch_tile=8, interpret=True,
+    )
+
+    bounds = jnp.asarray(np.random.default_rng(0).uniform(4.0, 8.0, 8), f32)
+    du_x, phi_x, U_x = solve_xla(bounds)
+    du_p, phi_p, U_p = solve_pl(bounds)
+
+    scale = float(jnp.max(jnp.abs(du_x))) + 1e-12
+    err_du = float(jnp.max(jnp.abs(du_x - du_p))) / scale
+    assert err_du < 2e-2, err_du
+    err_U = float(jnp.max(jnp.abs(U_x - U_p))) / (float(jnp.max(jnp.abs(U_x))) + 1e-12)
+    assert err_U < 2e-2, err_U
+
+    # chance-constraint margin oracle on the Pallas solution
+    margin = jnp.abs(du_p) + psi_inv * np.sqrt(0.01) * jnp.abs(U_p[:, :, 1])
+    viol = jnp.maximum(margin - bounds[:, None], 0.0)
+    assert float(jnp.max(viol)) < 0.05 * float(jnp.max(bounds)), float(jnp.max(viol))
