@@ -16,10 +16,17 @@ factor is X22 directly. Condition numbers live on the *factors* (square
 root of the Hessian's), which keeps the 1e10-ratio arm benchmark inside
 f32 (factor cond ~1e5).
 
-Restriction: Cux = 0 (true for every benchmark cost here — the reference
-LQT DP solver assumes it too, `sls.py:88-92`). The linear (v, k) terms
-are propagated unfactored via the closed-loop form
-v_new = cx + K^T cu + (A + B K)^T v, which is benign (no factorization).
+Cross terms Cux != 0 are handled by per-step completion of squares:
+with M = Cuu^{-1} Cux, substituting u = u~ - M x gives an equivalent
+problem with zero cross term — dynamics A_bar = A - B M, state cost
+Cxx_bar = Cxx - Cux^T M (a Schur complement, PSD), cx_bar = cx - M^T cu
+— and gains map back as K = K~ - M, k = k~. Requires Cuu > 0 (true
+whenever the control penalty R is positive, as in every cost here;
+the plain `riccati.ilqr_backward` needs only Quu > 0).
+
+The linear (v, k) terms are propagated unfactored via the closed-loop
+form v_new = cx + K^T cu + (A + B K)^T v, which is benign (no
+factorization).
 """
 
 from __future__ import annotations
@@ -45,11 +52,14 @@ def ilqr_backward_sqrt(
     Cts: jax.Array,
     cts: jax.Array,
 ):
-    """Array-form iLQR backward pass (Cux must be zero).
+    """Array-form iLQR backward pass.
 
     Same (K, k) contract as `riccati.ilqr_backward`; per step one QR of a
     ((m + 2d) x (m + d)) pre-array instead of forming/factoring Quu.
+    Nonzero Cux handled by completion of squares (requires Cuu > 0).
     """
+    from jax.scipy.linalg import cho_factor, cho_solve
+
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = jnp.result_type(A.dtype, Cts.dtype)
@@ -58,17 +68,28 @@ def ilqr_backward_sqrt(
     Cts = Cts.astype(dtype)
     cts = cts.astype(dtype)
 
-    Cxx_sqrt = jax.vmap(_sqrt_psd)(Cts[:, :d, :d])
+    # per-step cross-term elimination: M = Cuu^{-1} Cux
+    def eliminate(Ct):
+        Cxx, Cuu, Cux = Ct[:d, :d], Ct[d:, d:], Ct[d:, :d]
+        M = cho_solve(cho_factor(0.5 * (Cuu + Cuu.T)), Cux)
+        Cxx_bar = Cxx - Cux.T @ M
+        return M, 0.5 * (Cxx_bar + Cxx_bar.T)
+
+    Ms, Cxx_bar = jax.vmap(eliminate)(Cts)
+    A_bar = A - jnp.einsum("tij,tjk->tik", B, Ms)
+    cx_bar = cts[:, :d] - jnp.einsum("tji,tj->ti", Ms, cts[:, d:])
+
+    Cxx_sqrt = jax.vmap(_sqrt_psd)(Cxx_bar)
     Cuu_sqrt = jax.vmap(_sqrt_psd)(Cts[:, d:, d:])
 
+    # terminal value uses the raw state blocks: final-step gains are zero
+    # by convention (u_{N-1} unused), so no elimination at step N-1
     S_term = _sqrt_psd(Cts[-1][:d, :d])  # V = S S^T
     v_term = cts[-1][:d]
 
     def step(carry, inp):
         S, v = carry  # V = S S^T
-        At, Bt, Cuu_h, Cxx_h, ct = inp
-        cx = ct[:d]
-        cu = ct[d:]
+        At, Bt, Cuu_h, Cxx_h, cx, cu, Mt = inp
 
         pre = jnp.concatenate(
             [
@@ -93,9 +114,13 @@ def ilqr_backward_sqrt(
         # re-triangularize the factor (X22 is already a valid factor:
         # V_new = X22^T X22, stored transposed so V = S S^T next step)
         S_new = X22.T
-        return (S_new, v_new), (Kt, kt)
+        # map gains back to original controls: u = u~ - M x
+        return (S_new, v_new), (Kt - Mt, kt)
 
-    xs = (A[:-1], B[:-1], Cuu_sqrt[:-1], Cxx_sqrt[:-1], cts[:-1])
+    xs = (
+        A_bar[:-1], B[:-1], Cuu_sqrt[:-1], Cxx_sqrt[:-1],
+        cx_bar[:-1], cts[:-1, d:], Ms[:-1],
+    )
     _, (K, k) = lax.scan(step, (S_term, v_term), xs, reverse=True)
     K = jnp.concatenate([K, jnp.zeros((1, m, d), dtype)], axis=0)
     k = jnp.concatenate([k, jnp.zeros((1, m), dtype)], axis=0)

@@ -277,3 +277,27 @@ def test_ilqr_sls_method_matches_dp_on_arm():
     out_sls = ilqr_solve(arm.step, arm.get_AB, get_Cs, quad, state0, cfg, "sls")
     c_dp, c_sls = float(out_dp.cost), float(out_sls.cost)
     assert abs(c_dp - c_sls) < 0.05 * max(abs(c_dp), 1e-6), (c_dp, c_sls)
+
+
+def test_sqrt_riccati_with_cross_terms():
+    """sqrt Riccati now supports Cux != 0 via completion of squares —
+    must match the plain backward pass exactly in f64 on random PSD
+    Hessians with cross terms."""
+    from ilqr_admm_tpu.ops.riccati import ilqr_backward
+    from ilqr_admm_tpu.ops.sqrt_riccati import ilqr_backward_sqrt
+
+    rng = np.random.default_rng(3)
+    N, d, m = 15, 4, 2
+    A = jnp.asarray(rng.normal(size=(N, d, d)) * 0.3 + np.eye(d))
+    B = jnp.asarray(rng.normal(size=(N, d, m)) * 0.2)
+    # random PSD joint Hessians with genuine cross blocks
+    Ls = rng.normal(size=(N, d + m, d + m))
+    Cts = jnp.asarray(np.einsum("tij,tkj->tik", Ls, Ls) + np.eye(d + m) * 1e-2)
+    cts = jnp.asarray(rng.normal(size=(N, d + m)))
+    assert float(jnp.abs(Cts[:, d:, :d]).max()) > 0.1  # cross terms present
+
+    K1, k1 = ilqr_backward(A, B, Cts, cts)
+    K2, k2 = ilqr_backward_sqrt(A, B, Cts, cts)
+    scale = float(jnp.max(jnp.abs(K1))) + 1e-30
+    assert float(jnp.max(jnp.abs(K1 - K2))) / scale < 1e-9
+    assert float(jnp.max(jnp.abs(k1 - k2))) / (float(jnp.max(jnp.abs(k1))) + 1e-30) < 1e-9
