@@ -60,7 +60,7 @@ def main():
 
         solve_p = make_pallas_lqt_admm(
             A, B, cost, u_lower=-5.0, u_upper=5.0,
-            rho_u=1e-2, n_iters=ADMM_ITERS, batch_tile=512,
+            rho_u=1e-2, n_iters=ADMM_ITERS, batch_tile=2048,
         )
         solve = lambda x0s: solve_p(x0s)[:2]
     except Exception:
@@ -83,15 +83,18 @@ def main():
     assert float(jnp.max(jnp.abs(u))) <= 5.5
     assert bool(jnp.all(jnp.isfinite(u)))
 
-    # best-of timing: per-run tunnel/device contention adds up to ~40%
-    # noise; min over repeats is the standard robust estimator
-    reps = 7
+    # steady-state throughput: pipeline K solves per timing window so the
+    # host->device dispatch round trip (~26 ms through the axon tunnel —
+    # larger than the kernel itself) amortizes away; best-of windows
+    # guards against tunnel/device contention spikes.
+    K = 20
+    reps = 3
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        x, u = solve(x0s)
-        jax.block_until_ready(u)
-        times.append(time.perf_counter() - t0)
+        outs = [solve(x0s)[1] for _ in range(K)]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / K)
     dt = min(times)
 
     iters_per_s = BATCH * ADMM_ITERS / dt

@@ -8,6 +8,9 @@ velocities within ±1.5, controls within ±6.
 Run: python examples/arm_constrained.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

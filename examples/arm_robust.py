@@ -9,6 +9,9 @@ Psi(0.82) per side; validate with 1,000 Monte-Carlo rollouts
 Run: python examples/arm_robust.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 from scipy.stats import norm

@@ -10,6 +10,9 @@ to emulate an 8-chip mesh.
 Run: python examples/batched_multistart.py [--batch 4096]
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

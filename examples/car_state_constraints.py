@@ -8,12 +8,19 @@ composed through consensus ADMM.
 Run: python examples/car_state_constraints.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 
 from ilqr_admm_tpu import iSLS
 from ilqr_admm_tpu.models.car import CarSimple
-from ilqr_admm_tpu.projections import project_set_convex, project_square
+from ilqr_admm_tpu.projections import (
+    project_outside_rotated_boxes,
+    project_set_convex,
+    project_square,
+)
 
 
 def main():
@@ -76,20 +83,37 @@ def main():
     rho_x = np.zeros((N, x_dim, x_dim))
     rho_x[:, :2, :2] = np.eye(2) * 1e-1
 
-    sls.reset()
-    sls.nominal_values = x_nom[0], u_nom[0]
-    sls.ilqr_admm(
-        car.get_AB, project_x=project_state, max_admm_iter=10,
-        max_line_search=50, rho_x=rho_x, k_max=10, threshold=1e-1, verbose=True,
+    # exact alternative: normalize each obstacle frame by its radius so
+    # every box is the unit inf-norm ball, then use the single-push
+    # world-metric projection (certified exact for disjoint obstacles)
+    As_box = jnp.stack([Ws[i] / lower_sq[i] for i in range(2)])
+    bs_box = jnp.stack(
+        [-(Ws[i] / lower_sq[i]) @ jnp.asarray(centers[i]) for i in range(2)]
     )
-    print(f"constrained cost {sls.cost:.4f}; final {np.asarray(sls.x_nom[-1]).round(3)}")
 
-    # clearance oracle
-    pos = np.asarray(sls.x_nom)[:, :2]
-    for i in range(2):
-        z = (pos - centers[i]) @ np.asarray(Ws[i]).T
-        print(f"min inf-norm distance to obstacle {i}: "
-              f"{np.abs(z).max(-1).min():.3f} (bound {lower_sq[i]:.2f})")
+    def project_state_exact(x):
+        x_ = x.reshape(N, x_dim)
+        p, _ = project_outside_rotated_boxes(x_[:, :2], As_box, bs_box, l=1.0)
+        return x_.at[:, :2].set(p).reshape(-1)
+
+    for name, proj in (("consensus-ADMM", project_state),
+                       ("exact single-push", project_state_exact)):
+        sls.reset()
+        sls.nominal_values = x_nom[0], u_nom[0]
+        sls.ilqr_admm(
+            car.get_AB, project_x=proj, max_admm_iter=10,
+            max_line_search=50, rho_x=rho_x, k_max=10, threshold=1e-1,
+            verbose=True,
+        )
+        print(f"[{name}] constrained cost {sls.cost:.4f}; final "
+              f"{np.asarray(sls.x_nom[-1]).round(3)}")
+
+        # clearance oracle
+        pos = np.asarray(sls.x_nom)[:, :2]
+        for i in range(2):
+            z = (pos - centers[i]) @ np.asarray(Ws[i]).T
+            print(f"  min inf-norm distance to obstacle {i}: "
+                  f"{np.abs(z).max(-1).min():.3f} (bound {lower_sq[i]:.2f})")
 
 
 if __name__ == "__main__":

@@ -7,6 +7,9 @@ robust SLS-ADMM with chance constraints → 10k-rollout Monte-Carlo check.
 Run: python examples/double_integrator_control_bounds.py [--plot]
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

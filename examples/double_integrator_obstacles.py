@@ -8,6 +8,9 @@ Dykstra refinement.
 Run: python examples/double_integrator_obstacles.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

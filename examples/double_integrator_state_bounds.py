@@ -9,6 +9,9 @@ probability 0.9 under Gaussian x0 uncertainty; 10k-rollout MC validation
 Run: python examples/double_integrator_state_bounds.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 from scipy.stats import norm

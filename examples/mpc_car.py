@@ -7,6 +7,9 @@ and model mismatch, plus a vmapped fleet of controllers.
 Run: python examples/mpc_car.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -8,6 +8,9 @@ front-wheel-angle/acceleration bounds.
 Run: python examples/tutorial_car_parking.py [--plot]
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -94,6 +94,8 @@ class PlanarArm:
         N = xs.shape[0]
         d = self.x_dim
         A2, B2 = get_double_integrator_AB(n, 2, dt)
+        A2 = A2.astype(xs.dtype)  # builder follows jax_enable_x64, not xs
+        B2 = B2.astype(xs.dtype)
 
         q_next = xs[:, :n] + xs[:, n : 2 * n] * dt + 0.5 * us * dt**2
         J = jax.vmap(self.jacobian)(q_next)  # (N, 3, n)

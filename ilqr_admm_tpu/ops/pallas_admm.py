@@ -61,41 +61,71 @@ def _dot3(a, b_hi, b_lo):
 def _admm_kernel_u_only(
     # batch-tiled inputs: precomputed unconstrained iterates
     u_base_ref, x_base_ref,
-    # composite operator W = [Rr l_inv | Rr l_inv Su^T] pre-split to bf16
-    W_hi_ref, W_lo_ref,
+    # control response  Wu = (Rr l_inv)^T          pre-split to bf16
+    Wu_hi_ref, Wu_lo_ref,
+    # state response    Wx = (Rr l_inv Su^T)       pre-split to bf16
+    Wx_hi_ref, Wx_lo_ref,
     ub_ref,
     x_out_ref, u_out_ref, zu_out_ref,
-    *, n_iters: int, alpha: float, nm: int,
+    *, n_iters: int, refresh_every: int, alpha: float,
 ):
-    """Control-bounds-only fast path: ONE GEMM per ADMM iteration.
+    """Control-bounds-only fast path: ~1 narrow bf16 GEMM per iteration.
 
     With only the u-block active, u_hat and x_hat are affine in the
-    single regularization target (z_u - λ_u):
-        u_hat = u_base + (z_u - λ_u) @ (Rr l_inv)^T
-        x_hat = x_base + (z_u - λ_u) @ (Rr l_inv Su^T)
-    so one (tile, Nm) @ (Nm, Nm+Nd) MXU product per iteration computes
-    both, followed by the fused clip/dual update on the VPU.
+    single regularization target s = z_u - λ_u:
+        u_hat = u_base + s @ Wu,   x_hat = x_base + s @ Wx.
+
+    Two savings over the naive loop:
+    - **x out of the loop**: x_hat never feeds back (no state projection),
+      so the Wx product (Nd = 2·Nm output columns) runs ONCE after the
+      loop on the final s instead of every iteration;
+    - **incremental (delta) GEMM**: the running correction c = s @ Wu is
+      updated as c += (s - s_prev) @ Wu_hi in a SINGLE bf16 pass — the
+      per-pass error is O(2^-8 |Δs|) and Δs → 0 as ADMM converges, so
+      the cheap passes get *more* accurate as the solve proceeds. Every
+      `refresh_every` iterations c is recomputed exactly (bf16x3) from
+      the current s, squashing any accumulated drift.
+
+    Average MXU passes per iteration ≈ 1 + 2/refresh_every over Nm
+    output columns (vs 3 over Nm+Nd for the naive loop: ~7.5x fewer
+    column-passes at refresh_every=8).
     """
     u_base = u_base_ref[:]
-    x_base = x_base_ref[:]
 
-    z_u = u_base
-    l_u = jnp.zeros_like(z_u)
+    lo = ub_ref[0, :]
+    hi = ub_ref[1, :]
 
-    def body(_, carry):
-        z_u, l_u, x, u = carry
-        xu = _dot3(z_u - l_u, W_hi_ref[:], W_lo_ref[:])
-        u_hat = u_base + xu[:, :nm]
-        x_hat = x_base + xu[:, nm:]
+    def one_iter(z_u, l_u, c):
+        # Standard scaled-ADMM step given c = (z_u - λ_u) @ Wu.
+        u_hat = u_base + c
         z_rel = alpha * u_hat + (1.0 - alpha) * z_u
-        z_u_new = jnp.clip(z_rel + l_u, ub_ref[0, :], ub_ref[1, :])
-        l_u = l_u + u_hat - z_u_new
-        return (z_u_new, l_u, x_hat, u_hat)
+        z_new = jnp.clip(z_rel + l_u, lo, hi)
+        l_new = l_u + u_hat - z_new
+        return z_new, l_new, u_hat
 
-    z_u, l_u, x, u = lax.fori_loop(
-        0, n_iters, body, (z_u, l_u, x_base, u_base)
-    )
-    x_out_ref[:] = x
+    def inner(_, carry):
+        z_u, l_u, s, c, u = carry
+        s_new = z_u - l_u
+        d_hi, _ = _split_bf16(s_new - s)
+        c = c + jnp.dot(d_hi, Wu_hi_ref[:], preferred_element_type=_F32)
+        z_u, l_u, u = one_iter(z_u, l_u, c)
+        return (z_u, l_u, s_new, c, u)
+
+    def outer(_, carry):
+        z_u, l_u, _, _, u = carry
+        s = z_u - l_u
+        c = _dot3(s, Wu_hi_ref[:], Wu_lo_ref[:])  # exact refresh
+        z_u, l_u, u = one_iter(z_u, l_u, c)
+        return lax.fori_loop(0, refresh_every - 1, inner, (z_u, l_u, s, c, u))
+
+    n_outer = -(-n_iters // refresh_every)
+    z0 = u_base
+    l0 = jnp.zeros_like(z0)
+    c0 = jnp.zeros_like(z0)
+    z_u, l_u, s, c, u = lax.fori_loop(0, n_outer, outer, (z0, l0, z0, c0, u_base))
+
+    # final state trajectory from the s that produced the last u_hat
+    x_out_ref[:] = x_base_ref[:] + _dot3(s, Wx_hi_ref[:], Wx_lo_ref[:])
     u_out_ref[:] = u
     zu_out_ref[:] = z_u
 
@@ -166,6 +196,7 @@ def make_pallas_lqt_admm(
     n_iters: int = 100,
     alpha: float = 1.0,
     batch_tile: int = 256,
+    refresh_every: int = 1,
     interpret: bool = False,
 ):
     """Build a fused-Pallas batched box-constrained LQT-ADMM solver.
@@ -174,6 +205,15 @@ def make_pallas_lqt_admm(
     scalars or (N*x_dim,) bounds (None disables that block). Returns
     solve(x0s (batch, d)) -> (x, u, z_x, z_u) with batch a multiple of
     batch_tile.
+
+    refresh_every (u-only path): iterations between exact bf16x3
+    recomputations of the running GEMM correction; in between, single-
+    pass bf16 delta updates (see `_admm_kernel_u_only`). 1 = always
+    exact (default — at N·u_dim ≈ 100 the kernel is pipeline/VPU-bound
+    and the delta bookkeeping costs more than the saved MXU passes;
+    raise to ~8 for wide problems where the Nm×Nm GEMM dominates). The
+    u-only path runs ceil(n_iters/refresh_every) full blocks
+    (≤ refresh_every-1 extra iterations past n_iters).
     """
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
@@ -230,11 +270,13 @@ def make_pallas_lqt_admm(
 
     u_only = has_u and not has_x
     if u_only:
-        W_u = Rr_l.T @ l_inv.T  # (Nm, Nm)
-        W = jnp.concatenate([W_u, W_u @ Su.T], axis=1)  # (Nm, Nm+Nd)
-        W_hi, W_lo = _split_bf16(W)
+        W_u = Rr_l.T @ l_inv.T  # (Nm, Nm) — in-loop operand
+        W_x = W_u @ Su.T  # (Nm, Nd) — post-loop state recovery
+        Wu_hi, Wu_lo = _split_bf16(W_u)
+        Wx_hi, Wx_lo = _split_bf16(W_x)
         kernel_u = functools.partial(
-            _admm_kernel_u_only, n_iters=n_iters, alpha=alpha, nm=N * m
+            _admm_kernel_u_only, n_iters=n_iters,
+            refresh_every=refresh_every, alpha=alpha,
         )
 
     @jax.jit
@@ -265,7 +307,8 @@ def make_pallas_lqt_admm(
                 interpret=interpret,
                 in_specs=[
                     tile(N * m), tile(N * d),
-                    shared((N * m, N * m + N * d)), shared((N * m, N * m + N * d)),
+                    shared((N * m, N * m)), shared((N * m, N * m)),
+                    shared((N * m, N * d)), shared((N * m, N * d)),
                     shared((2, N * m)),
                 ],
                 out_specs=(tile(N * d), tile(N * m), tile(N * m)),
@@ -274,7 +317,7 @@ def make_pallas_lqt_admm(
                     jax.ShapeDtypeStruct((batch, N * m), dtype),
                     jax.ShapeDtypeStruct((batch, N * m), dtype),
                 ),
-            )(u_base, x_base, W_hi, W_lo, ub)
+            )(u_base, x_base, Wu_hi, Wu_lo, Wx_hi, Wx_lo, ub)
             return x_out, u_out, x_out, zu_out
 
         grid = (batch // batch_tile,)

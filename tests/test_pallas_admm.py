@@ -24,11 +24,12 @@ def _problem(N=40):
 
 
 def test_pallas_u_only_matches_xla():
+    """refresh_every=1 (always-exact bf16x3): iterate-for-iterate match."""
     N = 40
     plant, A, B, cost = _problem(N)
     solve_p = make_pallas_lqt_admm(
         A, B, cost, u_lower=-5.0, u_upper=5.0, rho_u=1e-2,
-        n_iters=50, batch_tile=8, interpret=True,
+        n_iters=50, batch_tile=8, refresh_every=1, interpret=True,
     )
     solve_x = make_batched_lqt_admm(
         A, B, cost, project_u=lambda u: project_bound(u, -5.0, 5.0),
@@ -41,7 +42,31 @@ def test_pallas_u_only_matches_xla():
     # same algorithm modulo warm-start choice and bf16x3 vs f32 matmuls:
     # iterates agree to ADMM-tolerance scale
     assert float(jnp.max(jnp.abs(u_p - u_r))) < 5e-2
+    assert float(jnp.max(jnp.abs(x_p - x_r))) < 5e-2  # post-loop Wx recovery
     assert float(jnp.max(jnp.abs(zu))) <= 5.0 + 1e-5  # z feasible by construction
+
+
+def test_pallas_u_only_delta_converges_to_fixed_point():
+    """Single-pass delta updates (refresh_every=8) converge to the SAME
+    fixed point as the exact f32 path: the per-iteration bf16 error is
+    O(2^-8 |Δs|) and Δs → 0, so the inexact x-update vanishes
+    asymptotically (standard inexact-ADMM argument)."""
+    N = 40
+    plant, A, B, cost = _problem(N)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(0, 0.1, size=(16, plant.x_dim)), jnp.float32)
+    star = make_batched_lqt_admm(
+        A, B, cost, project_u=lambda u: project_bound(u, -5.0, 5.0),
+        rho_u=1e-2, n_iters=4000,
+    )
+    _, u_s = star(x0s)
+    solve_p = make_pallas_lqt_admm(
+        A, B, cost, u_lower=-5.0, u_upper=5.0, rho_u=1e-2,
+        n_iters=1000, batch_tile=8, refresh_every=8, interpret=True,
+    )
+    _, u_p, _, zu = solve_p(x0s)
+    assert float(jnp.max(jnp.abs(u_p - u_s))) < 5e-3
+    assert float(jnp.max(jnp.abs(zu))) <= 5.0 + 1e-5
 
 
 def test_pallas_xu_matches_xla():
