@@ -47,22 +47,32 @@ def main(batch=1024, n_iters=50):
         A, B, cost, project_u=proj_u, rho_u=1e2, robust_dim=1, n_iters=n_iters
     )
     rng = np.random.default_rng(0)
-    bounds = jnp.asarray(rng.uniform(4.0, 8.0, batch), f32)  # scenario axis
+    # binding scenario bounds: the unconstrained |du| peaks near 4-5, so
+    # bounds in [2, 4] keep the chance constraints ACTIVE for every
+    # instance (at the old [4, 8] range the projection was a no-op and
+    # the benchmark measured an unconstrained solve)
+    bounds = jnp.asarray(rng.uniform(2.0, 4.0, batch), f32)  # scenario axis
 
     du, phi, U = solve(bounds)
     jax.block_until_ready(du)
-    reps = 3
-    t0 = time.perf_counter()
+    # steady-state: pipeline K fleet solves per window (the ~26 ms tunnel
+    # dispatch round trip otherwise dominates), best-of windows
+    K, reps = 5, 3
+    best = np.inf
     for _ in range(reps):
-        du, phi, U = solve(bounds)
-    jax.block_until_ready(du)
-    dt = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        outs = [solve(bounds)[0] for _ in range(K)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / K)
+    dt = best
     rate = batch / dt
     print(f"{batch} robust SLS-ADMM syntheses in {dt*1e3:.1f} ms → {rate:.0f} solves/s "
           f"({rate * BASELINE_S:.0f}x reference single-instance rate)")
-    # feasibility of a sample: chance margin per row
-    margin = jnp.abs(du[0]) + psi_inv * jnp.sqrt(0.01) * jnp.abs(phi[0][:, 0])
-    print(f"sample margin max {float(jnp.max(margin)):.3f} (bound {float(bounds[0]):.2f})")
+    # feasibility oracle: worst chance margin across the whole fleet
+    margin = jnp.abs(du) + psi_inv * jnp.sqrt(0.01) * jnp.abs(phi[:, :, 0])
+    worst = float(jnp.max(margin - bounds[:, None]))
+    print(f"worst chance margin {worst:+.4f} (<=0 is feasible; "
+          f"bounds active for {float(jnp.mean(jnp.max(margin, 1) > bounds * 0.98)) * 100:.0f}% of fleet)")
 
 
 if __name__ == "__main__":
