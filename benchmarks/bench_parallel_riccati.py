@@ -43,13 +43,20 @@ def main():
             with jax.default_matmul_precision("highest"):
                 return lqt_backward_parallel(A, B, Q, xd, R)
 
+        def _blk():
+            with jax.default_matmul_precision("highest"):
+                return lqt_backward_parallel(A, B, Q, xd, R, block_size=128)
+
         seq = jax.jit(_seq)
         par = jax.jit(_par)
+        blk = jax.jit(_blk)
         g_s = seq()
         g_p = par()
-        jax.block_until_ready((g_s.K, g_p.K))
+        g_b = blk()
+        jax.block_until_ready((g_s.K, g_p.K, g_b.K))
         kscale = float(jnp.max(jnp.abs(g_s.K)))
         err = float(jnp.max(jnp.abs(g_s.K - g_p.K))) / max(kscale, 1e-30)
+        err_b = float(jnp.max(jnp.abs(g_s.K - g_b.K))) / max(kscale, 1e-30)
 
         def timeit(fn, reps=10):
             t0 = time.perf_counter()
@@ -60,9 +67,11 @@ def main():
 
         t_s = timeit(seq)
         t_p = timeit(par)
+        t_b = timeit(blk)
         print(
-            f"N={N:>6}: sequential {t_s * 1e3:8.2f} ms | parallel {t_p * 1e3:8.2f} ms "
-            f"| speedup {t_s / t_p:5.2f}x | K rel err {err:.2e}"
+            f"N={N:>6}: sequential {t_s * 1e3:8.2f} ms | flat-parallel {t_p * 1e3:8.2f} ms "
+            f"({t_s / t_p:5.2f}x, err {err:.1e}) | blocked-128 {t_b * 1e3:8.2f} ms "
+            f"({t_s / t_b:5.2f}x, err {err_b:.1e})"
         )
 
 

@@ -79,6 +79,70 @@ def _combine_rev(a, b):
     return _combine_v(b, a)
 
 
+def _blocked_suffix_scan(combine, identity, elems, N, block_size):
+    """Inclusive suffix scan result[t] = e_t ∘ e_{t+1} ∘ … ∘ e_{N-1} via a
+    two-level blocked algorithm: O(N) total combines (vs the associative
+    scan's O(N log N)) with all the sequential steps batched block-wide
+    on the MXU.
+
+    combine(earlier, later) must broadcast over leading batch dims;
+    identity(shape_prefix) builds identity elements. elems: pytree tuple
+    of (N, ...) arrays. Returns the same pytree of (N, ...) arrays.
+
+    Level 1: within each of nb = ceil(N/L) blocks, a reverse sequential
+    scan of depth L where each step is an (nb,)-batched combine.
+    Level 2: an exclusive reverse scan over the nb block totals (depth
+    nb, single-element combines). Finish: one batched combine joining
+    every local suffix with its block's exclusive suffix.
+    """
+    L = block_size
+    nb = -(-N // L)
+    pad = nb * L - N
+
+    def pad_elem(x, ident_x):
+        if pad == 0:
+            return x
+        tail = jnp.broadcast_to(ident_x, (pad,) + x.shape[1:])
+        return jnp.concatenate([x, tail], axis=0)
+
+    ident1 = identity(())
+    elems = tuple(
+        pad_elem(x, ix) for x, ix in zip(elems, ident1)
+    )
+    # (N_pad, ...) -> (L, nb, ...): block-major rows, scan over the L axis
+    by_j = tuple(
+        jnp.moveaxis(x.reshape((nb, L) + x.shape[1:]), 0, 1) for x in elems
+    )
+
+    def step(carry, ej):
+        out = combine(ej, carry)  # e_j ∘ (suffix of later js)
+        return out, out
+
+    _, r = lax.scan(step, identity((nb,)), by_j, reverse=True)  # (L, nb, ...)
+
+    totals = tuple(x[0] for x in r)  # suffix of whole block, per block
+
+    def step2(carry, ti):
+        return combine(ti, carry), carry  # emit EXCLUSIVE suffix
+
+    _, S = lax.scan(step2, identity(()), totals, reverse=True)  # (nb, ...)
+
+    res = combine(r, S)  # broadcast (L, nb, ...) against (nb, ...)
+    out = tuple(
+        jnp.moveaxis(x, 0, 1).reshape((nb * L,) + x.shape[2:])[:N] for x in res
+    )
+    return out
+
+
+def _identity_elems(prefix, d, dtype):
+    """Monoid identity of `_combine`: (I, 0, 0, 0, 0) — combine(e, id) =
+    combine(id, e) = e (checked both ways against the formulas above)."""
+    I = jnp.broadcast_to(jnp.eye(d, dtype=dtype), prefix + (d, d))
+    z_m = jnp.zeros(prefix + (d, d), dtype)
+    z_v = jnp.zeros(prefix + (d,), dtype)
+    return (I, z_v, z_m, z_v, z_m)
+
+
 @highest_precision
 def lqt_backward_parallel(
     A: jax.Array,
@@ -90,8 +154,16 @@ def lqt_backward_parallel(
     xr: Optional[jax.Array] = None,
     Rr: Optional[jax.Array] = None,
     ur: Optional[jax.Array] = None,
+    block_size: Optional[int] = None,
 ) -> DPGains:
-    """LQT Riccati via associative scan. Same contract as `lqt_backward`."""
+    """LQT Riccati via associative scan. Same contract as `lqt_backward`.
+
+    block_size=None runs a flat `lax.associative_scan` (O(log N) depth,
+    O(N log N) combines — best at short/moderate horizons). With
+    block_size=L it runs the two-level blocked scan (`_blocked_suffix_scan`):
+    O(N) combines with the L sequential level-1 steps batched over the
+    N/L blocks — the right shape for long horizons, where the flat scan's
+    N log N work at HIGHEST precision loses to even the sequential scan."""
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype
@@ -128,7 +200,13 @@ def lqt_backward_parallel(
     )
 
     # inclusive reverse scan: result[t] = e_t ⊗ e_{t+1} ⊗ ... ⊗ e_{N-1}
-    scanned = lax.associative_scan(_combine_rev, elems, reverse=True)
+    if block_size is None:
+        scanned = lax.associative_scan(_combine_rev, elems, reverse=True)
+    else:
+        scanned = _blocked_suffix_scan(
+            _combine, lambda p: _identity_elems(p, d, dtype),
+            elems, N, block_size,
+        )
     J_all, eta_val = scanned[4], scanned[3]
 
     # gain extraction from V_{t+1} = (J_{t+1}, eta_{t+1}); parallel over t

@@ -94,11 +94,25 @@ def lqt_solve_batch(A, B, cost: QuadCost, x0):
 def lqt_solve_dp(
     A, B, cost: QuadCost,
     Qr=None, xr=None, Rr=None, ur=None,
+    time_parallel=None,
 ) -> DPGains:
     """LQT Riccati DP (reference `sls.py:85-166`): returns DPGains.
 
     The feedback law is u_t = K_t x_t + k_t.
+
+    time_parallel: None = sequential scan; 'flat' = associative scan
+    (O(log N) depth, best N ≲ 2k); an int L = two-level blocked scan
+    with block size L (O(N) combines, best at long horizons — see
+    `ops/parallel_riccati.py` and benchmarks/RESULTS.md).
     """
+    if time_parallel is not None:
+        from ilqr_admm_tpu.ops.parallel_riccati import lqt_backward_parallel
+
+        bs = None if time_parallel == "flat" else int(time_parallel)
+        return lqt_backward_parallel(
+            A, B, cost.Q, cost.xd, cost.R,
+            Qr=Qr, xr=xr, Rr=Rr, ur=ur, block_size=bs,
+        )
     return lqt_backward(A, B, cost.Q, cost.xd, cost.R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
 
 

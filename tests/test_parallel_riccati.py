@@ -94,3 +94,29 @@ def test_parallel_rollout_matches_sequential(rng):
     xs, us = rollout_closed_loop_parallel(A, B, g.K, g.k, x0)
     np.testing.assert_allclose(np.asarray(xs), xs_ref, atol=1e-9)
     np.testing.assert_allclose(np.asarray(us), us_ref, atol=1e-9)
+
+
+@pytest.mark.parametrize("block_size", [4, 8, 16, 33])
+def test_blocked_matches_sequential(rng, block_size):
+    """Two-level blocked suffix scan == sequential oracle, including
+    non-divisible N (identity-element padding) and block >= N."""
+    A, B, Q, xd, R = _random_lqt(rng)  # N=33
+    g_seq = lqt_backward(A, B, Q, xd, R)
+    g_blk = lqt_backward_parallel(A, B, Q, xd, R, block_size=block_size)
+    np.testing.assert_allclose(np.asarray(g_blk.K), np.asarray(g_seq.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_blk.k), np.asarray(g_seq.k), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_blk.Quu), np.asarray(g_seq.Quu), atol=1e-8)
+
+
+def test_blocked_with_regularizers(rng):
+    A, B, Q, xd, R = _random_lqt(rng, N=21)
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    Qr = jnp.asarray(np.tile(np.eye(d) * 0.4, (N, 1, 1)))
+    xr = jnp.asarray(rng.normal(size=(N, d)))
+    Rr = jnp.asarray(np.tile(np.eye(m) * 0.2, (N, 1, 1)))
+    ur = jnp.asarray(rng.normal(size=(N, m)))
+    g_seq = lqt_backward(A, B, Q, xd, R, Qr, xr, Rr, ur)
+    g_blk = lqt_backward_parallel(A, B, Q, xd, R, Qr, xr, Rr, ur, block_size=5)
+    np.testing.assert_allclose(np.asarray(g_blk.K), np.asarray(g_seq.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_blk.k), np.asarray(g_seq.k), atol=1e-8)
