@@ -1,0 +1,153 @@
+"""Constrained-MPC serving throughput: device-resident loop vs per-tick dispatch.
+
+Closes the ROADMAP "host dispatch floor" item: every single solve pays a
+~26 ms host->TPU round trip through the axon tunnel, so an MPC served by
+one host call per control tick is dispatch-bound no matter how fast the
+kernel is. The fix is the persistent-program pattern: the WHOLE closed
+loop (controller x-update, ADMM projections, plant simulation) is one
+`lax.scan` on device (`solvers/mpc.py::run_mpc`), so M ticks cost one
+dispatch. A fleet of controllers additionally vmaps the tick.
+
+Three measurements on the constrained car MPC (H=40, iLQR-ADMM per tick,
+control bounds, duals warm-started across ticks — no reference analogue;
+its replanning is linear/unconstrained only, `sls.py:244-248`):
+
+1. per-tick dispatch: Python loop over the jitted tick (serving floor);
+2. device-resident: `run_mpc` scan, M ticks / dispatch;
+3. fleet: vmapped tick inside the scan, K controllers at once.
+"""
+
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ilqr_admm_tpu.models.car import CarSimple
+from ilqr_admm_tpu.ops.riccati import quad_cost_model
+from ilqr_admm_tpu.projections import project_bound
+from ilqr_admm_tpu.solvers.mpc import (
+    make_mpc_step_constrained, mpc_constrained_init, run_mpc,
+)
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+U_MAX = 0.6
+
+
+def build(H=40):
+    car = CarSimple(dt=0.1)
+    d, m = 4, 2
+    target = jnp.asarray([2.0, 1.0, 0.0, 0.0], jnp.float32)
+    zs = jnp.stack([target, target])
+    Qs = jnp.stack([
+        jnp.diag(jnp.asarray([1.0, 1.0, 0.0, 0.1])),
+        jnp.diag(jnp.asarray([20.0, 20.0, 0.0, 1.0])),
+    ]).astype(jnp.float32)
+    seq = np.zeros(H, dtype=np.int32)
+    seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, 1e-2, m)
+
+    def get_Cs(xs, us):
+        return quad_cost_model(quad.Q, quad.xd, quad.R, xs, us)
+
+    def cost_fn(xs, us):
+        dx = xs - quad.xd
+        return (
+            jnp.einsum("ti,tij,tj->", dx, quad.Q, dx)
+            + jnp.einsum("ti,tij,tj->", us, quad.R, us)
+        )
+
+    step = make_mpc_step_constrained(
+        car.step, car.get_AB, cost_fn, get_Cs=get_Cs,
+        project_u=lambda u: project_bound(u, -U_MAX, U_MAX),
+        rho_u=1.0, n_outer_iters=2, n_admm_iters=5,
+    )
+    return car, step, d, m
+
+
+def main(H=40, n_ticks=100, fleet=256):
+    car, step, d, m = build(H)
+    x0 = jnp.asarray([0.0, 0.0, 0.5, 0.0], jnp.float32)
+    state = mpc_constrained_init(car.step, x0, jnp.zeros((H, m), jnp.float32))
+
+    # --- 1. per-tick dispatch (the serving floor) -----------------------
+    # Timed region = controller latency only (u back on the host, as a
+    # real control loop needs); the plant advance runs outside the timer.
+    plant_step = jax.jit(car.step)
+    u, st = step(state, x0)  # compile
+    jax.block_until_ready(u)
+    x, st = x0, state
+    t_host = 0.0
+    u_max_host = 0.0
+    for _ in range(n_ticks):
+        t0 = time.perf_counter()
+        u, st = step(st, x)
+        jax.block_until_ready(u)
+        t_host += time.perf_counter() - t0
+        u_max_host = max(u_max_host, float(jnp.max(jnp.abs(u))))
+        x = plant_step(x, u)
+    t_host /= n_ticks
+
+    # --- 2. device-resident closed loop (one dispatch for all ticks) ----
+    loop = jax.jit(
+        lambda st, x0: run_mpc(car.step, step, st, x0, n_ticks)
+    )
+    xs, us, _ = loop(state, x0)
+    jax.block_until_ready(us)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        xs, us, _ = loop(state, x0)
+    jax.block_until_ready(us)
+    t_dev = (time.perf_counter() - t0) / reps / n_ticks
+    u_max_dev = float(jnp.max(jnp.abs(us)))
+    final = np.asarray(xs[-1])
+
+    # --- 3. fleet: K controllers per tick, still one dispatch -----------
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(0, 0.3, size=(fleet, d)), jnp.float32)
+    states = jax.vmap(
+        lambda a: mpc_constrained_init(car.step, a, jnp.zeros((H, m), jnp.float32))
+    )(x0s)
+    vstep = jax.vmap(step)
+
+    def fleet_loop(sts, xs0):
+        def scan_step(carry, _):
+            x, st = carry
+            u, st = vstep(st, x)
+            return (jax.vmap(car.step)(x, u), st), u
+
+        (_, sts), us = jax.lax.scan(scan_step, (xs0, sts), None, length=n_ticks)
+        return us
+
+    floop = jax.jit(fleet_loop)
+    us_f = floop(states, x0s)
+    jax.block_until_ready(us_f)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        us_f = floop(states, x0s)
+    jax.block_until_ready(us_f)
+    t_fleet = (time.perf_counter() - t0) / reps / n_ticks  # per fleet-tick
+    u_max_fleet = float(jnp.max(jnp.abs(us_f)))
+
+    print(f"constrained car MPC, H={H}, 2 outer x 5 ADMM iters/tick, |u|<={U_MAX}")
+    print(
+        f"per-tick dispatch : {t_host * 1e3:8.2f} ms/tick  "
+        f"({1.0 / t_host:8.1f} ticks/s)   max|u|={u_max_host:.4f}"
+    )
+    print(
+        f"device-resident   : {t_dev * 1e3:8.2f} ms/tick  "
+        f"({1.0 / t_dev:8.1f} ticks/s)   max|u|={u_max_dev:.4f}  "
+        f"speedup {t_host / t_dev:.1f}x   final pos {final[:2].round(3)}"
+    )
+    print(
+        f"fleet x{fleet:<5d}     : {t_fleet * 1e3:8.2f} ms/tick  "
+        f"({fleet / t_fleet:8.1f} controller-ticks/s)   max|u|={u_max_fleet:.4f}"
+    )
+    assert u_max_host <= U_MAX + 1e-4 and u_max_dev <= U_MAX + 1e-4
+    assert u_max_fleet <= U_MAX + 1e-4
+
+
+if __name__ == "__main__":
+    main()

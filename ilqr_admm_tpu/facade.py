@@ -190,9 +190,18 @@ class SLS(_Base):
             return self.solve_sls()
         raise ValueError(f"unknown method {method!r}")
 
-    def solve_batch(self, x0):
+    def solve_batch(self, x0, use_qr=None):
         x0 = jnp.asarray(x0, _dtype())
-        return lqt_solve_batch(self.A, self.B, self.quad_cost, x0)
+        if use_qr is None:
+            # same auto-selection as ADMM_LQT_Batch: square-root solve
+            # when the via-point weights are too stiff for f32 normal
+            # equations (docs/architecture.md §4)
+            from ilqr_admm_tpu.utils.precision import stiffness_ratio
+
+            use_qr = (not jax.config.jax_enable_x64) and stiffness_ratio(
+                self.quad_cost.Q, self.quad_cost.R
+            ) > 1e5
+        return lqt_solve_batch(self.A, self.B, self.quad_cost, x0, use_qr=use_qr)
 
     def solve_dp(self, Qr=None, Rr=None, ur=None, xr=None, return_Qs: bool = False):
         gains = lqt_solve_dp(self.A, self.B, self.quad_cost, Qr=Qr, xr=xr, Rr=Rr, ur=ur)

@@ -71,21 +71,41 @@ def lifted_normal_eqs(A, B, cost: QuadCost, Qr=None, Rr=None):
 
 
 @highest_precision
-def lqt_solve_batch(A, B, cost: QuadCost, x0):
+def lqt_solve_batch(A, B, cost: QuadCost, x0, use_qr: bool = False):
     """Open-loop optimum via lifted least squares (reference `sls.py:62-83`).
+
+    use_qr=True solves the square-root system instead of the normal
+    equations: QR-factor G = [sqrt(Q) Su; sqrt(R)] and back-substitute —
+    accuracy degrades with cond(G) rather than cond(G)^2 = cond(SuᵀQSu+R),
+    which keeps stiff via-point weights (x_std/u_std ratios ≳ 1e4)
+    accurate in f32 on TPU (same trick as the ADMM x-update's `use_qr`,
+    `lqt_admm.py`).
 
     Returns (xs (N, d), us (N, m)).
     """
     N, m = A.shape[0], B.shape[-1]
     Su = build_Su(A, B)
-    Qlift = block_diag_stacked(cost.Q)
-    Rlift = block_diag_stacked(cost.R)
-    SuTQ = Su.T @ Qlift
-    l_side = SuTQ @ Su + Rlift
-
     free = sw_x0(A, x0).reshape(-1)
-    r_side = SuTQ @ (cost.lifted_xd() - free)
-    u_opt = cho_solve(cho_factor(l_side), r_side)
+    if use_qr:
+        from jax.scipy.linalg import solve_triangular
+
+        from ilqr_admm_tpu.solvers.lqt_admm import _sqrt_psd_stacked
+
+        sqQ = block_diag_stacked(_sqrt_psd_stacked(cost.Q))
+        sqR = block_diag_stacked(_sqrt_psd_stacked(cost.R))
+        G = jnp.concatenate([sqQ @ Su, sqR], axis=0)
+        c = jnp.concatenate(
+            [sqQ @ (cost.lifted_xd() - free), jnp.zeros((N * m,), A.dtype)]
+        )
+        Qf, Rf = jnp.linalg.qr(G)
+        u_opt = solve_triangular(Rf, Qf.T @ c, lower=False)
+    else:
+        Qlift = block_diag_stacked(cost.Q)
+        Rlift = block_diag_stacked(cost.R)
+        SuTQ = Su.T @ Qlift
+        l_side = SuTQ @ Su + Rlift
+        r_side = SuTQ @ (cost.lifted_xd() - free)
+        u_opt = cho_solve(cho_factor(l_side), r_side)
     x_opt = free + Su @ u_opt
     return x_opt.reshape(N, -1), u_opt.reshape(N, m)
 

@@ -230,3 +230,38 @@ def test_dense_cross_time_cost():
     )
     u_sls = (PHI_U[:, :d] @ x0 + du).reshape(N, m)
     np.testing.assert_allclose(np.asarray(u_sls), np.asarray(us), atol=1e-8)
+
+
+def test_batch_qr_matches_cholesky():
+    """use_qr=True solves the identical problem (x64, moderate weights)."""
+    plant, A, B, cost = make_di_problem(x_std=1e3, u_std=1e-2)
+    x0 = jnp.asarray([0.3, -0.2])
+    xs_c, us_c = lqt_solve_batch(A, B, cost, x0)
+    xs_q, us_q = lqt_solve_batch(A, B, cost, x0, use_qr=True)
+    np.testing.assert_allclose(np.asarray(us_q), np.asarray(us_c), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(xs_q), np.asarray(xs_c), atol=1e-8)
+
+
+def test_batch_qr_stiff_f32():
+    """Square-root lifted solve keeps stiff via-point weights accurate in
+    f32, where the normal-equation Cholesky (cond^2) loses most digits —
+    the 'sqrt form of the lifted solves' ROADMAP item."""
+    plant, A, B, cost = make_di_problem(x_std=1e6, u_std=1e-3)
+    x0 = jnp.asarray([0.3, -0.2])
+    # f64 truth (conftest enables x64)
+    us_true = np.asarray(lqt_solve_batch(A, B, cost, x0)[1])
+
+    f32 = jnp.float32
+    A32, B32 = A.astype(f32), B.astype(f32)
+    cost32 = cost.__class__(
+        Q=cost.Q.astype(f32), xd=cost.xd.astype(f32), R=cost.R.astype(f32)
+    )
+    x032 = x0.astype(f32)
+    us_chol = np.asarray(lqt_solve_batch(A32, B32, cost32, x032)[1])
+    us_qr = np.asarray(lqt_solve_batch(A32, B32, cost32, x032, use_qr=True)[1])
+
+    scale = np.max(np.abs(us_true))
+    err_chol = np.max(np.abs(us_chol - us_true)) / scale
+    err_qr = np.max(np.abs(us_qr - us_true)) / scale
+    assert err_qr < 1e-3, err_qr
+    assert err_qr < err_chol, (err_qr, err_chol)
