@@ -203,8 +203,17 @@ class SLS(_Base):
             ) > 1e5
         return lqt_solve_batch(self.A, self.B, self.quad_cost, x0, use_qr=use_qr)
 
-    def solve_dp(self, Qr=None, Rr=None, ur=None, xr=None, return_Qs: bool = False):
-        gains = lqt_solve_dp(self.A, self.B, self.quad_cost, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
+    def solve_dp(
+        self, Qr=None, Rr=None, ur=None, xr=None, return_Qs: bool = False,
+        time_parallel=None,
+    ):
+        """time_parallel: None = sequential scan; 'flat' = associative
+        scan; int L = blocked suffix scan (long horizons) — see
+        `solvers/lqt.py::lqt_solve_dp`."""
+        gains = lqt_solve_dp(
+            self.A, self.B, self.quad_cost, Qr=Qr, xr=xr, Rr=Rr, ur=ur,
+            time_parallel=time_parallel,
+        )
         if return_Qs:
             return gains.K, gains.k, gains.Quu, gains.Quu_inv, gains.Qux
         return gains.K, gains.k

@@ -174,3 +174,22 @@ def test_facade_solve_dp_ff():
     K, k, Quu, Quu_inv, Qux = sls.solve_dp(return_Qs=True)
     k2 = sls.solve_dp_ff(K, Quu, Qux, Quu_inv)
     np.testing.assert_allclose(np.asarray(k2), np.asarray(k), atol=1e-10)
+
+
+def test_facade_solve_dp_time_parallel():
+    """facade solve_dp(time_parallel=...) matches the sequential scan."""
+    N = 50
+    A, B = get_double_integrator_AB(1, 2, dt=1.0 / N)
+    sls = SLS(2, 1, N)
+    sls.AB = [A, B]
+    zs = np.stack([np.zeros(2), np.array([1.0, 0.0])])
+    Qs = np.stack([np.zeros((2, 2)), np.eye(2) * 1e4])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    sls.set_quadratic_cost(zs, Qs, seq, 1e-2)
+
+    K_s, k_s = sls.solve_dp()
+    for tp in ("flat", 16):
+        K_p, k_p = sls.solve_dp(time_parallel=tp)
+        np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), atol=1e-8)
