@@ -66,6 +66,7 @@ class _Base:
         self.quad_cost = None  # QuadCost
         self._Su = None
         self._Sw = None
+        self._stiffness = None  # cached stiffness_ratio of quad_cost
 
     # -- dynamics ----------------------------------------------------------
     @property
@@ -103,10 +104,11 @@ class _Base:
         self.seq = np.asarray(seq)
         self.Rt = jnp.eye(self.u_dim, dtype=_dtype()) * u_std
         self.quad_cost = viapoint_cost(self.zs, self.Qs, self.seq, u_std, self.u_dim)
-        if not jax.config.jax_enable_x64:
-            from ilqr_admm_tpu.utils.precision import stiffness_ratio
+        from ilqr_admm_tpu.utils.precision import stiffness_ratio
 
-            ratio = stiffness_ratio(self.quad_cost.Q, self.quad_cost.R)
+        self._stiffness = stiffness_ratio(self.quad_cost.Q, self.quad_cost.R)
+        if not jax.config.jax_enable_x64:
+            ratio = self._stiffness
             if ratio > 1e7:
                 import warnings
 
@@ -120,6 +122,16 @@ class _Base:
 
     # reference notebooks use this older name (SURVEY §2 API drift)
     set_cost_variables = set_quadratic_cost
+
+    def _auto_use_qr(self) -> bool:
+        """Pick the square-root (QR) x-update automatically: stiff cost
+        under f32 (docs/architecture.md §4). Uses the stiffness ratio
+        cached by set_quadratic_cost."""
+        if self._stiffness is None:
+            from ilqr_admm_tpu.utils.precision import stiffness_ratio
+
+            self._stiffness = stiffness_ratio(self.quad_cost.Q, self.quad_cost.R)
+        return (not jax.config.jax_enable_x64) and self._stiffness > 1e5
 
     @property
     def Q(self):
@@ -193,14 +205,7 @@ class SLS(_Base):
     def solve_batch(self, x0, use_qr=None):
         x0 = jnp.asarray(x0, _dtype())
         if use_qr is None:
-            # same auto-selection as ADMM_LQT_Batch: square-root solve
-            # when the via-point weights are too stiff for f32 normal
-            # equations (docs/architecture.md §4)
-            from ilqr_admm_tpu.utils.precision import stiffness_ratio
-
-            use_qr = (not jax.config.jax_enable_x64) and stiffness_ratio(
-                self.quad_cost.Q, self.quad_cost.R
-            ) > 1e5
+            use_qr = self._auto_use_qr()
         return lqt_solve_batch(self.A, self.B, self.quad_cost, x0, use_qr=use_qr)
 
     def solve_dp(
@@ -364,13 +369,7 @@ class SLS(_Base):
         project_u = project_u or None
         cfg = ADMMConfig(max_iter=max_iter, alpha=alpha, tol=tol, log=log)
         if use_qr is None:
-            # auto-select the square-root x-update when the cost is too
-            # stiff for f32 normal equations (docs/architecture.md §4)
-            from ilqr_admm_tpu.utils.precision import stiffness_ratio
-
-            use_qr = (not jax.config.jax_enable_x64) and stiffness_ratio(
-                self.quad_cost.Q, self.quad_cost.R
-            ) > 1e5
+            use_qr = self._auto_use_qr()
         x, u, info = lqt_admm_batch(
             self.A, self.B, self.quad_cost, jnp.asarray(x0, _dtype()),
             project_x, project_u, rho_x, rho_u, cfg, use_qr=use_qr,

@@ -164,6 +164,10 @@ def lqt_backward_parallel(
     O(N) combines with the L sequential level-1 steps batched over the
     N/L blocks — the right shape for long horizons, where the flat scan's
     N log N work at HIGHEST precision loses to even the sequential scan."""
+    if block_size is not None and (
+        isinstance(block_size, bool) or not isinstance(block_size, int) or block_size < 1
+    ):
+        raise ValueError(f"block_size must be a positive int, got {block_size!r}")
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype

@@ -46,6 +46,27 @@ def block_diag_stacked(blocks: jax.Array) -> jax.Array:
     ].set(blocks)
 
 
+def sqrt_psd_stacked(blocks: jax.Array) -> jax.Array:
+    """Symmetric PSD square roots of stacked (N, d, d) blocks (eigh-based)."""
+    w, V = jnp.linalg.eigh(blocks)
+    w = jnp.sqrt(jnp.maximum(w, 0.0))
+    return jnp.einsum("tij,tj,tkj->tik", V, w, V)
+
+
+def blockdiag_matmul(blocks: jax.Array, M: jax.Array) -> jax.Array:
+    """block_diag(blocks) @ M without the dense (N·d, N·d) operator.
+
+    blocks: (N, d, d); M: (N·d,) or (N·d, k). N times cheaper than
+    materializing the block-diagonal and doing a dense matmul.
+    """
+    N, d = blocks.shape[0], blocks.shape[-1]
+    if M.ndim == 1:
+        return jnp.einsum("tij,tj->ti", blocks, M.reshape(N, d)).reshape(-1)
+    return jnp.einsum("tij,tjk->tik", blocks, M.reshape(N, d, M.shape[-1])).reshape(
+        N * d, M.shape[-1]
+    )
+
+
 @highest_precision
 def lifted_normal_eqs(A, B, cost: QuadCost, Qr=None, Rr=None):
     """Assemble the dense lifted pieces used by batch / SLS paths.
@@ -89,13 +110,11 @@ def lqt_solve_batch(A, B, cost: QuadCost, x0, use_qr: bool = False):
     if use_qr:
         from jax.scipy.linalg import solve_triangular
 
-        from ilqr_admm_tpu.solvers.lqt_admm import _sqrt_psd_stacked
-
-        sqQ = block_diag_stacked(_sqrt_psd_stacked(cost.Q))
-        sqR = block_diag_stacked(_sqrt_psd_stacked(cost.R))
-        G = jnp.concatenate([sqQ @ Su, sqR], axis=0)
+        sqQ = sqrt_psd_stacked(cost.Q)  # (N, d, d) blocks
+        sqR = block_diag_stacked(sqrt_psd_stacked(cost.R))
+        G = jnp.concatenate([blockdiag_matmul(sqQ, Su), sqR], axis=0)
         c = jnp.concatenate(
-            [sqQ @ (cost.lifted_xd() - free), jnp.zeros((N * m,), A.dtype)]
+            [blockdiag_matmul(sqQ, cost.lifted_xd() - free), jnp.zeros((N * m,), A.dtype)]
         )
         Qf, Rf = jnp.linalg.qr(G)
         u_opt = solve_triangular(Rf, Qf.T @ c, lower=False)
@@ -128,7 +147,19 @@ def lqt_solve_dp(
     if time_parallel is not None:
         from ilqr_admm_tpu.ops.parallel_riccati import lqt_backward_parallel
 
-        bs = None if time_parallel == "flat" else int(time_parallel)
+        if time_parallel == "flat":
+            bs = None
+        elif isinstance(time_parallel, bool) or (
+            not isinstance(time_parallel, int) or time_parallel < 2
+        ):
+            # True would silently mean block_size=1 (N sequential
+            # combines — strictly worse than the sequential scan)
+            raise ValueError(
+                "time_parallel must be None, 'flat', or an int block "
+                f"size >= 2, got {time_parallel!r}"
+            )
+        else:
+            bs = time_parallel
         return lqt_backward_parallel(
             A, B, cost.Q, cost.xd, cost.R,
             Qr=Qr, xr=xr, Rr=Rr, ur=ur, block_size=bs,

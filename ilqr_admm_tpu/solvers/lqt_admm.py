@@ -18,14 +18,16 @@ from ilqr_admm_tpu.ops.lifted import build_Su, sw_x0
 from ilqr_admm_tpu.ops.riccati import lqt_backward, lqt_backward_ff
 from ilqr_admm_tpu.problem import ADMMConfig, QuadCost
 from ilqr_admm_tpu.solvers.admm import admm_solve
-from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
+from ilqr_admm_tpu.solvers.lqt import (
+    block_diag_stacked,
+    blockdiag_matmul,
+    broadcast_rho,
+    sqrt_psd_stacked,
+)
 
-
-def _sqrt_psd_stacked(blocks):
-    """Symmetric PSD square roots of stacked (N, d, d) blocks (eigh-based)."""
-    w, V = jnp.linalg.eigh(blocks)
-    w = jnp.sqrt(jnp.maximum(w, 0.0))
-    return jnp.einsum("tij,tj,tkj->tik", V, w, V)
+# back-compat alias (helper moved to solvers/lqt.py, shared with
+# lqt_solve_batch's use_qr path)
+_sqrt_psd_stacked = sqrt_psd_stacked
 
 
 def _lqt_admm_batch_impl(
@@ -157,21 +159,23 @@ def _lqt_admm_batch_qr(
     free = sw_x0(A, x0).reshape(-1)
     xd = cost.lifted_xd()
 
-    sqQ = block_diag_stacked(_sqrt_psd_stacked(cost.Q))
-    sqR = block_diag_stacked(_sqrt_psd_stacked(cost.R))
-    rows = [sqQ @ Su, sqR]
+    # block square roots kept stacked; blockdiag_matmul applies them
+    # blockwise (N x cheaper than dense (Nd,Nd) products)
+    sqQ = sqrt_psd_stacked(cost.Q)
+    sqR = block_diag_stacked(sqrt_psd_stacked(cost.R))
+    rows = [blockdiag_matmul(sqQ, Su), sqR]
     sqQr = sqRr = None
     if Qr is not None and has_x:
-        sqQr = block_diag_stacked(_sqrt_psd_stacked(Qr))
-        rows.append(sqQr @ Su)
+        sqQr = sqrt_psd_stacked(Qr)
+        rows.append(blockdiag_matmul(sqQr, Su))
     if Rr is not None and has_u:
-        sqRr = block_diag_stacked(_sqrt_psd_stacked(Rr))
+        sqRr = block_diag_stacked(sqrt_psd_stacked(Rr))
         rows.append(sqRr)
     G = jnp.concatenate(rows, axis=0)  # (n_rows, Nm)
     Qf, Rf = jnp.linalg.qr(G)  # reduced: Qf (n_rows, Nm), Rf (Nm, Nm)
 
     # stacked rhs c with G^T c = r_side; u = Rf^{-1} Qf^T c
-    c0 = sqQ @ (xd - free)
+    c0 = blockdiag_matmul(sqQ, xd - free)
     zeros_R = jnp.zeros((N * m,), dtype)
 
     from jax.scipy.linalg import solve_triangular
@@ -194,7 +198,7 @@ def _lqt_admm_batch_qr(
     def f_argmin(x, u):
         parts = [c0, zeros_R]
         if sqQr is not None:
-            parts.append(sqQr @ ((x if x is not None else free) - free))
+            parts.append(blockdiag_matmul(sqQr, (x if x is not None else free) - free))
         if sqRr is not None:
             parts.append(sqRr @ (u if u is not None else jnp.zeros((N * m,), dtype)))
         u_hat = solve_ls(parts)

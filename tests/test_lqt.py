@@ -265,3 +265,55 @@ def test_batch_qr_stiff_f32():
     err_qr = np.max(np.abs(us_qr - us_true)) / scale
     assert err_qr < 1e-3, err_qr
     assert err_qr < err_chol, (err_qr, err_chol)
+
+
+def test_time_parallel_validation():
+    """Degenerate time_parallel values are rejected loudly (True would
+    silently mean block_size=1 — N sequential combines, strictly worse
+    than the sequential scan)."""
+    plant, A, B, cost = make_di_problem(N=20, x_std=1e2)
+    for bad in (True, 0, -4, 1, 2.5):
+        with pytest.raises((ValueError, TypeError)):
+            lqt_solve_dp(A, B, cost, time_parallel=bad)
+    # valid values still work
+    g = lqt_solve_dp(A, B, cost, time_parallel=8)
+    g_f = lqt_solve_dp(A, B, cost, time_parallel="flat")
+    g_s = lqt_solve_dp(A, B, cost)
+    np.testing.assert_allclose(np.asarray(g.K), np.asarray(g_s.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_f.K), np.asarray(g_s.K), atol=1e-8)
+
+
+def test_facade_auto_use_qr_selection():
+    """_auto_use_qr: stiffness cached at set_quadratic_cost; selection =
+    stiff cost AND f32 (the f32 branch is otherwise dead under the x64
+    test suite)."""
+    from ilqr_admm_tpu import SLS
+
+    N = 20
+    plant, A, B, cost = make_di_problem(N=N, x_std=1e6, u_std=1e-3)
+    s = SLS(plant.x_dim, plant.u_dim, N)
+    s.AB = plant.AB(N)
+    zs = np.stack([np.zeros(plant.x_dim), np.array([1.0, 0.0])])
+    Qs = np.stack([np.zeros((2, 2)), np.eye(2) * 1e6])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    s.set_quadratic_cost(zs, Qs, seq, 1e-3)
+    assert s._stiffness is not None and s._stiffness > 1e5
+    # under x64 (test suite) the QR switch stays off...
+    assert jax.config.jax_enable_x64
+    assert s._auto_use_qr() is False
+    # ...and turns on for the same stiffness under f32
+    try:
+        jax.config.update("jax_enable_x64", False)
+        assert s._auto_use_qr() is True
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    # mild cost -> off regardless
+    s2 = SLS(plant.x_dim, plant.u_dim, N)
+    s2.AB = plant.AB(N)
+    s2.set_quadratic_cost(zs, np.stack([np.zeros((2, 2)), np.eye(2)]), seq, 1e-1)
+    try:
+        jax.config.update("jax_enable_x64", False)
+        assert s2._auto_use_qr() is False
+    finally:
+        jax.config.update("jax_enable_x64", True)
