@@ -8,6 +8,13 @@ configurations on one chip.
 """
 
 import os
+
+# persistent compile cache (first tunnel compile is minutes; reruns are free)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
 import sys
 import time
 

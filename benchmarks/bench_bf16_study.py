@@ -23,7 +23,15 @@ Two findings this script substantiates:
    pipeline-bound and refresh_every=1 is best — RESULTS.md).
 """
 
-import os, sys, time
+
+# persistent compile cache (first tunnel compile is minutes; reruns are free)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
+import sys
+import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np

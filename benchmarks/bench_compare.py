@@ -1,3 +1,10 @@
+import os
+
+# persistent compile cache (first tunnel compile is minutes; reruns are free)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import time, numpy as np, jax, jax.numpy as jnp

@@ -17,7 +17,16 @@ its replanning is linear/unconstrained only, `sls.py:244-248`):
 3. fleet: vmapped tick inside the scan, K controllers at once.
 """
 
-import os, sys, time
+import os
+
+# persistent compile cache (first tunnel compile is minutes; reruns are free)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
+import sys
+import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np

@@ -1,6 +1,15 @@
 """Fused Pallas robust SLS-ADMM kernel vs XLA GEMM path on TPU."""
 
-import os, sys, time
+import os
+
+# persistent compile cache (first tunnel compile is minutes; reruns are free)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
+import sys
+import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np

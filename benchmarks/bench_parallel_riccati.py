@@ -11,6 +11,13 @@ batches where the scan's latency dominates.
 """
 
 import os
+
+# persistent compile cache (first tunnel compile is minutes; reruns are free)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
 import sys
 import time
 
@@ -47,18 +54,24 @@ def main():
             with jax.default_matmul_precision("highest"):
                 return lqt_backward_parallel(A, B, Q, xd, R, block_size=128)
 
+        def _par_f():
+            with jax.default_matmul_precision("highest"):
+                return lqt_backward_parallel(A, B, Q, xd, R, fast_inverse=True)
+
+        def _blk_f():
+            with jax.default_matmul_precision("highest"):
+                return lqt_backward_parallel(
+                    A, B, Q, xd, R, block_size=128, fast_inverse=True
+                )
+
         seq = jax.jit(_seq)
-        par = jax.jit(_par)
-        blk = jax.jit(_blk)
         g_s = seq()
-        g_p = par()
-        g_b = blk()
-        jax.block_until_ready((g_s.K, g_p.K, g_b.K))
+        jax.block_until_ready(g_s.K)
         kscale = float(jnp.max(jnp.abs(g_s.K)))
-        err = float(jnp.max(jnp.abs(g_s.K - g_p.K))) / max(kscale, 1e-30)
-        err_b = float(jnp.max(jnp.abs(g_s.K - g_b.K))) / max(kscale, 1e-30)
 
         def timeit(fn, reps=10):
+            out = fn()
+            jax.block_until_ready(out.K)
             t0 = time.perf_counter()
             for _ in range(reps):
                 out = fn()
@@ -66,13 +79,23 @@ def main():
             return (time.perf_counter() - t0) / reps
 
         t_s = timeit(seq)
-        t_p = timeit(par)
-        t_b = timeit(blk)
-        print(
-            f"N={N:>6}: sequential {t_s * 1e3:8.2f} ms | flat-parallel {t_p * 1e3:8.2f} ms "
-            f"({t_s / t_p:5.2f}x, err {err:.1e}) | blocked-128 {t_b * 1e3:8.2f} ms "
-            f"({t_s / t_b:5.2f}x, err {err_b:.1e})"
-        )
+        line = f"N={N:>6}: sequential {t_s * 1e3:8.2f} ms"
+        variants = [
+            ("flat", _par), ("flat-fastinv", _par_f),
+            ("blk128", _blk), ("blk128-fastinv", _blk_f),
+        ]
+        if N >= 10000:
+            # the flat scan's log-depth program takes minutes to compile
+            # at N=10k and loses badly anyway (968 ms vs 84 ms sequential
+            # — RESULTS.md); bench only the blocked variants there
+            variants = variants[2:]
+        for name, f in variants:
+            fn = jax.jit(f)
+            g = fn()
+            err = float(jnp.max(jnp.abs(g_s.K - g.K))) / max(kscale, 1e-30)
+            t = timeit(fn)
+            line += f" | {name} {t * 1e3:7.2f} ms ({t_s / t:5.2f}x, err {err:.1e})"
+        print(line)
 
 
 if __name__ == "__main__":

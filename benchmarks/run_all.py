@@ -8,8 +8,15 @@ batched-throughput headline, and writes `benchmarks/HEADTOHEAD.md` and
 Run: python benchmarks/run_all.py            (current backend)
 """
 
-import json
 import os
+
+# persistent compile cache (first tunnel compile is minutes; reruns are free)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
+import json
 import sys
 import time
 

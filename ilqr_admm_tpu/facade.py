@@ -210,14 +210,15 @@ class SLS(_Base):
 
     def solve_dp(
         self, Qr=None, Rr=None, ur=None, xr=None, return_Qs: bool = False,
-        time_parallel=None,
+        time_parallel=None, fast_inverse: bool = False,
     ):
         """time_parallel: None = sequential scan; 'flat' = associative
-        scan; int L = blocked suffix scan (long horizons) — see
+        scan; int L = blocked suffix scan (long horizons); fast_inverse:
+        adjugate combine inverses on the time-parallel paths — see
         `solvers/lqt.py::lqt_solve_dp`."""
         gains = lqt_solve_dp(
             self.A, self.B, self.quad_cost, Qr=Qr, xr=xr, Rr=Rr, ur=ur,
-            time_parallel=time_parallel,
+            time_parallel=time_parallel, fast_inverse=fast_inverse,
         )
         if return_Qs:
             return gains.K, gains.k, gains.Quu, gains.Quu_inv, gains.Qux

@@ -134,6 +134,7 @@ def lqt_solve_dp(
     A, B, cost: QuadCost,
     Qr=None, xr=None, Rr=None, ur=None,
     time_parallel=None,
+    fast_inverse: bool = False,
 ) -> DPGains:
     """LQT Riccati DP (reference `sls.py:85-166`): returns DPGains.
 
@@ -143,6 +144,8 @@ def lqt_solve_dp(
     (O(log N) depth, best N ≲ 2k); an int L = two-level blocked scan
     with block size L (O(N) combines, best at long horizons — see
     `ops/parallel_riccati.py` and benchmarks/RESULTS.md).
+    fast_inverse (time-parallel paths only): closed-form adjugate
+    combine inverses — faster, adjugate accuracy envelope.
     """
     if time_parallel is not None:
         from ilqr_admm_tpu.ops.parallel_riccati import lqt_backward_parallel
@@ -163,6 +166,7 @@ def lqt_solve_dp(
         return lqt_backward_parallel(
             A, B, cost.Q, cost.xd, cost.R,
             Qr=Qr, xr=xr, Rr=Rr, ur=ur, block_size=bs,
+            fast_inverse=fast_inverse,
         )
     return lqt_backward(A, B, cost.Q, cost.xd, cost.R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
 

@@ -120,3 +120,31 @@ def test_blocked_with_regularizers(rng):
     g_blk = lqt_backward_parallel(A, B, Q, xd, R, Qr, xr, Rr, ur, block_size=5)
     np.testing.assert_allclose(np.asarray(g_blk.K), np.asarray(g_seq.K), atol=1e-8)
     np.testing.assert_allclose(np.asarray(g_blk.k), np.asarray(g_seq.k), atol=1e-8)
+
+
+def test_inv_small_matches_linalg(rng):
+    """Closed-form adjugate inverse == LU for trailing dims 1..4."""
+    from ilqr_admm_tpu.ops.parallel_riccati import inv_small
+
+    for d in (1, 2, 3, 4):
+        M = jnp.asarray(rng.normal(size=(17, d, d)))
+        M = M @ jnp.swapaxes(M, -1, -2) + jnp.eye(d) * 0.5  # well-posed
+        X = inv_small(M)
+        np.testing.assert_allclose(
+            np.asarray(X), np.linalg.inv(np.asarray(M)), atol=1e-10, rtol=1e-8
+        )
+    with pytest.raises(ValueError):
+        inv_small(jnp.eye(5))
+
+
+@pytest.mark.parametrize("block_size", [None, 8])
+def test_fast_inverse_matches_lu(rng, block_size):
+    """fast_inverse=True (adjugate combine) matches the LU scan on a
+    moderately-weighted problem, flat and blocked."""
+    A, B, Q, xd, R = _random_lqt(rng)
+    g_lu = lqt_backward_parallel(A, B, Q, xd, R, block_size=block_size)
+    g_fast = lqt_backward_parallel(
+        A, B, Q, xd, R, block_size=block_size, fast_inverse=True
+    )
+    np.testing.assert_allclose(np.asarray(g_fast.K), np.asarray(g_lu.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_fast.k), np.asarray(g_lu.k), atol=1e-8)
