@@ -152,6 +152,30 @@ def project_block_lower_triangular(z, x_dim, u_dim, N):
     return jnp.where(mask, 0.0, z)
 
 
+def prox_l1(v, thresh):
+    """Soft-thresholding: prox of thresh·‖·‖₁ (elementwise shrinkage).
+
+    Not in the reference (its z-updates are all set projections); enables
+    l1-regularized / sparse control à la "An ADMM Algorithm for Solving
+    l1 Regularized MPC" (PAPERS.md): use as `project_u` with
+    thresh = γ / (2·ρ_u) for a sparsity cost γ‖u‖₁ under this codebase's
+    no-1/2 penalty convention (z-update solves
+    min_z γ‖z‖₁ + ρ‖x̂ − z + λ‖²).
+    """
+    v = jnp.asarray(v)
+    return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0)
+
+
+def prox_l1_box(v, thresh, lower, upper):
+    """Prox of thresh·‖·‖₁ + indicator of [lower, upper].
+
+    Exact composition for separable scalars: the objective in each
+    coordinate is convex/unimodal, so the box-constrained minimizer is
+    the clip of the unconstrained soft-threshold.
+    """
+    return jnp.clip(prox_l1(v, thresh), lower, upper)
+
+
 projections = {
     "SOC": project_soc_unit,
     "bound": project_bound,

@@ -273,3 +273,98 @@ def test_adaptive_rho_matches_fixed_solution():
         A, B, cost, x0, project_u=proj_u, rho_u=1e-2,
         cfg=ADMMConfig(max_iter=300, tol=1e-5, adaptive_rho=True))
     np.testing.assert_allclose(np.asarray(ua), np.asarray(uf), atol=5e-3)
+
+
+def test_l1_sparse_control_matches_oracle(rng):
+    """l1-regularized (sparse) control via prox-ADMM (PAPERS.md: "An ADMM
+    Algorithm for Solving l1 Regularized MPC" — beyond the reference,
+    whose z-updates are all set projections). Oracle: the same problem as
+    a smooth QP over the split u = p - n, p,n >= 0 (L-BFGS-B)."""
+    from scipy.optimize import minimize
+    from ilqr_admm_tpu.ops.lifted import build_Su, sw_x0
+    from ilqr_admm_tpu.projections import prox_l1
+    from ilqr_admm_tpu.solvers.lqt import block_diag_stacked
+
+    N, d, m = 30, 2, 1
+    A_np = np.eye(d) + rng.normal(size=(d, d)) * 0.05
+    B_np = rng.normal(size=(d, m)) * 0.1
+    A = jnp.broadcast_to(jnp.asarray(A_np), (N, d, d))
+    B = jnp.broadcast_to(jnp.asarray(B_np), (N, d, m))
+    Qd = rng.uniform(0.1, 10.0, size=(N, d))
+    Q = jnp.asarray(np.stack([np.diag(q) for q in Qd]))
+    xd = jnp.asarray(rng.normal(size=(N, d)))
+    R = jnp.broadcast_to(jnp.eye(m) * 1e-2, (N, m, m))
+    cost = QuadCost(Q=Q, xd=xd, R=R)
+    x0 = jnp.asarray(rng.normal(size=d) * 0.3)
+
+    Su = np.asarray(build_Su(A, B))
+    free = np.asarray(sw_x0(A, x0)).reshape(-1)
+    sqQ = np.sqrt(np.asarray(block_diag_stacked(Q)))
+    sqR = np.sqrt(np.asarray(block_diag_stacked(R)))
+    G = np.concatenate([sqQ @ Su, sqR], axis=0)
+    c = np.concatenate([sqQ @ (np.asarray(cost.lifted_xd()) - free),
+                        np.zeros(N * m)])
+    gamma = 1.0
+
+    def full_obj(u):
+        r = G @ u - c
+        return float(r @ r) + gamma * float(np.sum(np.abs(u)))
+
+    # oracle: u = p - n with p, n >= 0 makes the objective smooth
+    GtG, Gtc = G.T @ G, G.T @ c
+
+    def split_obj(w):
+        p, n = w[: N * m], w[N * m:]
+        u = p - n
+        grad_u = 2.0 * (GtG @ u - Gtc)
+        val = float(u @ GtG @ u - 2.0 * Gtc @ u + c @ c) + gamma * float(
+            np.sum(p) + np.sum(n)
+        )
+        return val, np.concatenate([grad_u + gamma, -grad_u + gamma])
+
+    w0 = np.zeros(2 * N * m)
+    res = minimize(split_obj, w0, jac=True, method="L-BFGS-B",
+                   bounds=[(0, None)] * (2 * N * m),
+                   options=dict(maxiter=5000, ftol=1e-15, gtol=1e-12))
+    u_star = res.x[: N * m] - res.x[N * m:]
+
+    rho = 1e-1
+    # no-1/2 penalty convention: z-update min γ||z||_1 + ρ||x̂ - z + λ||²
+    proj = lambda u: prox_l1(u, gamma / (2.0 * rho))
+    _, u_admm, info = lqt_admm_batch(
+        A, B, cost, x0, project_u=proj, rho_u=rho,
+        cfg=ADMMConfig(max_iter=4000, tol=1e-10, stall_tol=1e-13),
+    )
+    u_admm = np.asarray(u_admm)
+
+    gap = (full_obj(u_admm) - full_obj(u_star)) / max(abs(full_obj(u_star)), 1e-12)
+    assert gap < 1e-5, gap
+    # the l1 term must actually induce sparsity in the optimum, and the
+    # ADMM x-iterate must track the oracle everywhere, including its
+    # (near-)zero support
+    scale = np.max(np.abs(u_star))
+    assert np.sum(np.abs(u_star) < 1e-8 * scale) > 0, "gamma too small for the test"
+    assert np.max(np.abs(u_admm - u_star)) < 1e-3 * scale
+    assert np.all(np.abs(u_admm)[np.abs(u_star) < 1e-8 * scale] < 1e-4 * scale)
+
+
+def test_prox_l1_properties(rng):
+    from ilqr_admm_tpu.projections import prox_l1, prox_l1_box
+
+    v = jnp.asarray(rng.normal(size=64) * 2.0)
+    t = 0.7
+    p = prox_l1(v, t)
+    # Moreau identity: v - prox_{t||.||_1}(v) = clip(v, -t, t)
+    np.testing.assert_allclose(np.asarray(v - p), np.clip(np.asarray(v), -t, t),
+                               atol=1e-12)
+    # exact zeros inside the threshold band
+    assert np.all(np.asarray(p)[np.abs(np.asarray(v)) <= t] == 0.0)
+    # box composition == brute-force scalar minimization
+    lo, hi = -0.5, 1.2
+    pb = np.asarray(prox_l1_box(v, t, lo, hi))
+    zs = np.linspace(lo, hi, 20001)
+    for i in range(0, 64, 7):
+        # prox convention: argmin 0.5 (z - v)^2 + t |z| over the box
+        vals = 0.5 * (zs - float(v[i])) ** 2 + t * np.abs(zs)
+        z_best = zs[np.argmin(vals)]
+        assert abs(pb[i] - z_best) < 1e-3, (i, pb[i], z_best)
