@@ -233,6 +233,30 @@ def lqt_backward_parallel(
         isinstance(block_size, bool) or not isinstance(block_size, int) or block_size < 1
     ):
         raise ValueError(f"block_size must be a positive int, got {block_size!r}")
+    elems, U, s = value_elements(A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
+    N, d = A.shape[0], A.shape[-1]
+    dtype = A.dtype
+
+    # inclusive reverse scan: result[t] = e_t ⊗ e_{t+1} ⊗ ... ⊗ e_{N-1}
+    comb = functools.partial(_combine, fast_inverse=fast_inverse)
+    if block_size is None:
+        comb_v = jax.vmap(comb)
+        scanned = lax.associative_scan(
+            lambda a, b: comb_v(b, a), elems, reverse=True
+        )
+    else:
+        scanned = _blocked_suffix_scan(
+            comb, lambda p: _identity_elems(p, d, dtype),
+            elems, N, block_size,
+        )
+    return gains_from_scanned(A, B, U, s, scanned)
+
+
+def value_elements(A, B, Q, xd, R, Qr=None, xr=None, Rr=None, ur=None):
+    """Conditional-value-function elements (A, b, C, eta, J) for the
+    parallel Riccati scan, plus the control Hessians/targets (U, s)
+    needed for gain extraction. Shared by the single-device scans and
+    the mesh time-sharded path (`parallel/time_sharded.py`)."""
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype
@@ -267,22 +291,16 @@ def lqt_backward_parallel(
         jnp.concatenate([elem_eta, eta_all[-1:]], 0),
         jnp.concatenate([elem_J, X[-1:]], 0),
     )
+    return elems, U, s
 
-    # inclusive reverse scan: result[t] = e_t ⊗ e_{t+1} ⊗ ... ⊗ e_{N-1}
-    comb = functools.partial(_combine, fast_inverse=fast_inverse)
-    if block_size is None:
-        comb_v = jax.vmap(comb)
-        scanned = lax.associative_scan(
-            lambda a, b: comb_v(b, a), elems, reverse=True
-        )
-    else:
-        scanned = _blocked_suffix_scan(
-            comb, lambda p: _identity_elems(p, d, dtype),
-            elems, N, block_size,
-        )
+
+def gains_from_scanned(A, B, U, s, scanned) -> DPGains:
+    """Per-step gain extraction from scanned value functions
+    V_{t+1} = (J_{t+1}, eta_{t+1}); embarrassingly parallel over t."""
+    m = B.shape[-1]
+    d = A.shape[-1]
+    dtype = A.dtype
     J_all, eta_val = scanned[4], scanned[3]
-
-    # gain extraction from V_{t+1} = (J_{t+1}, eta_{t+1}); parallel over t
     Jn = J_all[1:]  # (N-1, d, d)
     etan = eta_val[1:]
 

@@ -5,6 +5,10 @@ from ilqr_admm_tpu.parallel.batch import (
     sharded_instance_solve,
     mc_success_rate,
 )
+from ilqr_admm_tpu.parallel.time_sharded import (
+    lqt_backward_time_sharded,
+    time_sharded_suffix_scan,
+)
 
 __all__ = [
     "make_mesh",
@@ -13,4 +17,6 @@ __all__ = [
     "batched_ilqr_solve",
     "sharded_instance_solve",
     "mc_success_rate",
+    "lqt_backward_time_sharded",
+    "time_sharded_suffix_scan",
 ]

@@ -1,0 +1,117 @@
+"""Time-axis (horizon) sharding of the Riccati recursion over a device mesh.
+
+The distributed form of this domain's "sequence parallelism" (SURVEY
+§2.3 / §5): the horizon N is split into P contiguous chunks, one per
+device along a `('time',)` mesh axis. Each device runs a *local*
+suffix scan over its chunk of conditional-value-function elements
+(`ops/parallel_riccati.py`), then the P chunk totals are exchanged with
+ONE `all_gather` (tiny: P × element, each O(d²)) and every device joins
+its local suffixes with the exclusive suffix of the later chunks —
+exactly the two-level blocked scan with the block level mapped onto the
+mesh. Communication: one all_gather of O(P·d²) floats, nothing else.
+
+Gain extraction stays local per time chunk (embarrassingly parallel),
+with the one-step value-function shift handled by GSPMD on the sharded
+arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ilqr_admm_tpu.ops.parallel_riccati import (
+    DPGains,
+    _combine,
+    _identity_elems,
+    gains_from_scanned,
+    value_elements,
+)
+from ilqr_admm_tpu.utils.precision import highest_precision
+
+
+def time_sharded_suffix_scan(combine, identity, elems, mesh: Mesh, axis: str):
+    """Inclusive suffix scan of `elems` (pytree of (N, ...) arrays) with
+    the time axis sharded over mesh axis `axis`.
+
+    combine(earlier, later) must broadcast over a leading batch dim;
+    identity(prefix) builds identity elements. N must divide evenly by
+    the mesh axis size.
+    """
+    P_ = mesh.shape[axis]
+    N = jax.tree_util.tree_leaves(elems)[0].shape[0]
+    if N % P_ != 0:
+        raise ValueError(f"horizon {N} must be divisible by mesh axis size {P_}")
+    comb_v = jax.vmap(combine)
+
+    def local(chunk):
+        # chunk leaves: (N/P, ...) — local inclusive suffix scan
+        scanned = lax.associative_scan(
+            lambda a, b: comb_v(b, a), chunk, reverse=True
+        )
+        total = jax.tree_util.tree_map(lambda x: x[:1], scanned)  # (1, ...)
+        totals = jax.tree_util.tree_map(
+            lambda x: lax.all_gather(x, axis), total
+        )  # (P, 1, ...) on every device
+
+        # exclusive suffix of the later chunks for my position i:
+        # S_i = totals[i+1] ∘ … ∘ totals[P-1]  (identity for i = P-1)
+        idx = lax.axis_index(axis)
+        S = identity((1,))
+        for j in reversed(range(P_)):
+            tj = jax.tree_util.tree_map(lambda x: x[j], totals)
+            Sj = combine(tj, S)  # chunk j is earlier than chunks > j
+            S = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(j > idx, a, b), Sj, S
+            )
+        return combine(scanned, S)  # (N/P, ...) ⊗ (1, ...) broadcast
+
+    specs = P(axis)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(specs,), out_specs=specs,
+    )(elems)
+
+
+@highest_precision
+def lqt_backward_time_sharded(
+    A: jax.Array,
+    B: jax.Array,
+    Q: jax.Array,
+    xd: jax.Array,
+    R: jax.Array,
+    Qr: Optional[jax.Array] = None,
+    xr: Optional[jax.Array] = None,
+    Rr: Optional[jax.Array] = None,
+    ur: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    axis: str = "time",
+    fast_inverse: bool = False,
+) -> DPGains:
+    """LQT Riccati with the horizon sharded over `mesh[axis]`.
+
+    Same contract as `ops.riccati.lqt_backward` / `lqt_backward_parallel`
+    but the (N, ...) arrays live sharded along the time axis: each device
+    scans its chunk, one all_gather joins the chunks. Collective traffic
+    is O(P · d²) per solve regardless of N.
+    """
+    d = A.shape[-1]
+    dtype = A.dtype
+    elems, U, s = value_elements(A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
+    comb = functools.partial(_combine, fast_inverse=fast_inverse)
+    scanned = time_sharded_suffix_scan(
+        comb, lambda p: _identity_elems(p, d, dtype), elems, mesh, axis
+    )
+    # keep the scan results (and gain extraction) sharded over time
+    sharding = NamedSharding(mesh, P(axis))
+    scanned = jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, sharding), scanned
+    )
+    return gains_from_scanned(A, B, U, s, scanned)

@@ -1,0 +1,79 @@
+"""Time-axis (horizon) sharding of the Riccati over the device mesh.
+
+The distributed "sequence parallelism" of this domain (SURVEY §2.3/§5):
+chunks of the horizon live on different devices; one all_gather joins
+them. Oracle: the sequential single-device scan."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ilqr_admm_tpu.ops.riccati import lqt_backward
+from ilqr_admm_tpu.parallel.mesh import make_mesh
+from ilqr_admm_tpu.parallel.time_sharded import lqt_backward_time_sharded
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+def _random_lqt(rng, N=64, d=3, m=2):
+    A = jnp.asarray(np.tile(np.eye(d), (N, 1, 1)) + 0.02 * rng.normal(size=(N, d, d)))
+    B = jnp.asarray(0.15 * rng.normal(size=(N, d, m)))
+    Qd = rng.uniform(0.1, 5.0, size=(N, d))
+    Q = jnp.asarray(np.stack([np.diag(q) for q in Qd]))
+    xd = jnp.asarray(rng.normal(size=(N, d)))
+    R = jnp.asarray(np.tile(np.eye(m) * 0.3, (N, 1, 1)))
+    return A, B, Q, xd, R
+
+
+def test_time_sharded_matches_sequential(rng):
+    mesh = make_mesh(axis_names=("time",))
+    A, B, Q, xd, R = _random_lqt(rng)  # N=64 over 8 devices
+    g_seq = lqt_backward(A, B, Q, xd, R)
+    g_sh = lqt_backward_time_sharded(A, B, Q, xd, R, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(g_sh.K), np.asarray(g_seq.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_sh.k), np.asarray(g_seq.k), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_sh.Quu), np.asarray(g_seq.Quu), atol=1e-8)
+
+
+def test_time_sharded_with_regularizers_and_fastinv(rng):
+    mesh = make_mesh(axis_names=("time",))
+    A, B, Q, xd, R = _random_lqt(rng, N=40, d=2, m=1)
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    Qr = jnp.asarray(np.tile(np.eye(d) * 0.3, (N, 1, 1)))
+    xr = jnp.asarray(rng.normal(size=(N, d)))
+    Rr = jnp.asarray(np.tile(np.eye(m) * 0.1, (N, 1, 1)))
+    ur = jnp.asarray(rng.normal(size=(N, m)))
+    g_seq = lqt_backward(A, B, Q, xd, R, Qr, xr, Rr, ur)
+    g_sh = lqt_backward_time_sharded(
+        A, B, Q, xd, R, Qr, xr, Rr, ur, mesh=mesh, fast_inverse=True
+    )
+    np.testing.assert_allclose(np.asarray(g_sh.K), np.asarray(g_seq.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_sh.k), np.asarray(g_seq.k), atol=1e-8)
+
+
+def test_time_sharded_rejects_indivisible(rng):
+    mesh = make_mesh(axis_names=("time",))
+    A, B, Q, xd, R = _random_lqt(rng, N=30)  # 30 % 8 != 0
+    with pytest.raises(ValueError):
+        lqt_backward_time_sharded(A, B, Q, xd, R, mesh=mesh)
+
+
+def test_time_sharded_under_jit_with_sharded_inputs(rng):
+    """The real usage: inputs already sharded over the time axis, the
+    whole backward pass jitted — GSPMD keeps everything distributed."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(axis_names=("time",))
+    A, B, Q, xd, R = _random_lqt(rng)
+    sh = NamedSharding(mesh, P("time"))
+    A, B, Q, xd, R = (jax.device_put(x, sh) for x in (A, B, Q, xd, R))
+
+    f = jax.jit(lambda *a: lqt_backward_time_sharded(*a, mesh=mesh))
+    g_sh = f(A, B, Q, xd, R)
+    g_seq = lqt_backward(A, B, Q, xd, R)
+    np.testing.assert_allclose(np.asarray(g_sh.K), np.asarray(g_seq.K), atol=1e-8)
