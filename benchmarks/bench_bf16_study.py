@@ -23,6 +23,7 @@ Two findings this script substantiates:
    pipeline-bound and refresh_every=1 is best — RESULTS.md).
 """
 
+import os
 
 # persistent compile cache (first tunnel compile is minutes; reruns are free)
 os.environ.setdefault(

@@ -5,7 +5,7 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
 )
-import os, sys, time
+import sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np, jax, jax.numpy as jnp
 from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator

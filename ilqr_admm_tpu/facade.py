@@ -214,7 +214,8 @@ class SLS(_Base):
     ):
         """time_parallel: None = sequential scan; 'flat' = associative
         scan; int L = blocked suffix scan (long horizons); fast_inverse:
-        adjugate combine inverses on the time-parallel paths — see
+        adjugate combine inverses (state dim <= 4) on the time-parallel
+        paths — see
         `solvers/lqt.py::lqt_solve_dp`."""
         gains = lqt_solve_dp(
             self.A, self.B, self.quad_cost, Qr=Qr, xr=xr, Rr=Rr, ur=ur,

@@ -125,19 +125,6 @@ def _combine(e1, e2, fast_inverse: bool = False):
     return (A, b, C, eta, J)
 
 
-_combine_v = jax.vmap(_combine)
-
-
-def _combine_rev(a, b):
-    """Operand-flipped combine for `associative_scan(..., reverse=True)`.
-
-    A reverse associative scan accumulates from the end, so the first
-    operand is the *later*-time block; `_combine` expects (earlier,
-    later).
-    """
-    return _combine_v(b, a)
-
-
 def _blocked_suffix_scan(combine, identity, elems, N, block_size):
     """Inclusive suffix scan result[t] = e_t ∘ e_{t+1} ∘ … ∘ e_{N-1} via a
     two-level blocked algorithm: O(N) total combines (vs the associative
@@ -233,6 +220,12 @@ def lqt_backward_parallel(
         isinstance(block_size, bool) or not isinstance(block_size, int) or block_size < 1
     ):
         raise ValueError(f"block_size must be a positive int, got {block_size!r}")
+    if fast_inverse and A.shape[-1] > 4:
+        raise ValueError(
+            f"fast_inverse=True uses the closed-form adjugate inverse, which "
+            f"supports state dim <= 4 (got d={A.shape[-1]}); use the default "
+            "LU combine for larger states"
+        )
     elems, U, s = value_elements(A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
     N, d = A.shape[0], A.shape[-1]
     dtype = A.dtype

@@ -104,6 +104,12 @@ def lqt_backward_time_sharded(
     """
     d = A.shape[-1]
     dtype = A.dtype
+    if fast_inverse and d > 4:
+        raise ValueError(
+            f"fast_inverse=True uses the closed-form adjugate inverse, which "
+            f"supports state dim <= 4 (got d={d}); use the default LU combine "
+            "for larger states"
+        )
     elems, U, s = value_elements(A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
     comb = functools.partial(_combine, fast_inverse=fast_inverse)
     scanned = time_sharded_suffix_scan(

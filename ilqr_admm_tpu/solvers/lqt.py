@@ -145,7 +145,8 @@ def lqt_solve_dp(
     with block size L (O(N) combines, best at long horizons — see
     `ops/parallel_riccati.py` and benchmarks/RESULTS.md).
     fast_inverse (time-parallel paths only): closed-form adjugate
-    combine inverses — faster, adjugate accuracy envelope.
+    combine inverses (state dim <= 4) — faster, adjugate accuracy
+    envelope.
     """
     if time_parallel is not None:
         from ilqr_admm_tpu.ops.parallel_riccati import lqt_backward_parallel

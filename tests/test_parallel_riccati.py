@@ -148,3 +148,19 @@ def test_fast_inverse_matches_lu(rng, block_size):
     )
     np.testing.assert_allclose(np.asarray(g_fast.K), np.asarray(g_lu.K), atol=1e-8)
     np.testing.assert_allclose(np.asarray(g_fast.k), np.asarray(g_lu.k), atol=1e-8)
+
+
+def test_fast_inverse_rejects_large_state(rng):
+    """fast_inverse names itself in the d>4 error instead of failing
+    three layers down inside inv_small."""
+    N, d, m = 12, 6, 2
+    A = jnp.asarray(np.tile(np.eye(d), (N, 1, 1)))
+    B = jnp.asarray(rng.normal(size=(N, d, m)) * 0.1)
+    Q = jnp.asarray(np.tile(np.eye(d), (N, 1, 1)))
+    xd = jnp.zeros((N, d))
+    R = jnp.asarray(np.tile(np.eye(m), (N, 1, 1)))
+    with pytest.raises(ValueError, match="fast_inverse"):
+        lqt_backward_parallel(A, B, Q, xd, R, fast_inverse=True)
+    # LU path still fine at d=6
+    g = lqt_backward_parallel(A, B, Q, xd, R)
+    assert np.all(np.isfinite(np.asarray(g.K)))
