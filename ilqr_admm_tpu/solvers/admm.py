@@ -40,6 +40,45 @@ def _norm(x):
     return jnp.sqrt(jnp.sum(x * x))
 
 
+def _rho_is_zero(rho) -> bool:
+    """Concrete all-zero penalty (reference-style 'off' spelling)."""
+    try:
+        import numpy as _np
+
+        return bool(_np.all(_np.asarray(rho) == 0))
+    except Exception:  # traced value — cannot prove zero
+        return False
+
+
+def validate_constraint_blocks(project_x, rho_x, project_u, rho_u):
+    """Each ADMM constraint block needs BOTH its projection and penalty.
+
+    A projection without a (nonzero) rho would be silently ignored by
+    the x-update (the solver would return the unconstrained optimum
+    while appearing to run constrained ADMM); a nonzero rho without its
+    projection would inject a zero-target penalty that biases the
+    solution. The reference fails with an opaque TypeError in the same
+    situations (`Rr @ u` with `Rr=None`, `sls.py`/`isls.py`); here it is
+    a clear error at the API boundary. rho=0 with no projection is the
+    reference-style explicit 'off' and is accepted.
+    """
+    for name, proj, rho in (
+        ("x", project_x, rho_x), ("u", project_u, rho_u),
+    ):
+        if proj is not None and (rho is None or _rho_is_zero(rho)):
+            raise ValueError(
+                f"project_{name} is set but rho_{name}={rho!r}: the "
+                f"projection would be silently ignored by the x-update; "
+                f"pass a nonzero rho_{name}"
+            )
+        if proj is None and rho is not None and not _rho_is_zero(rho):
+            raise ValueError(
+                f"rho_{name}={rho!r} is set but project_{name} is None: "
+                f"this would inject a zero-target penalty that biases "
+                f"the solution; pass project_{name} or drop rho_{name}"
+            )
+
+
 def admm_solve(
     f_argmin: Callable,
     project_x: Optional[Callable],
@@ -99,10 +138,19 @@ def admm_solve(
     # Shape-infer the x-update outputs to build a zero init for the carry.
     one = jnp.asarray(1.0, dtype)
     if adaptive:
-        out_shapes = jax.eval_shape(
-            f_argmin, z_x - lmb_x if has_x else None,
-            z_u - lmb_u if has_u else None, one,
-        )
+        try:
+            out_shapes = jax.eval_shape(
+                f_argmin, z_x - lmb_x if has_x else None,
+                z_u - lmb_u if has_u else None, one,
+            )
+        except TypeError as e:
+            raise ValueError(
+                "adaptive_rho=True requires an f_argmin accepting "
+                "(reg_x, reg_u, rho_scale); this x-update takes only "
+                "(reg_x, reg_u) — adaptive penalties are currently "
+                "supported by the batch LQT x-update "
+                "(lqt_admm_batch(use_qr=False)) only"
+            ) from e
     else:
         out_shapes = jax.eval_shape(
             f_argmin, z_x - lmb_x if has_x else None, z_u - lmb_u if has_u else None

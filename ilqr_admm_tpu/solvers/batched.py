@@ -41,6 +41,7 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_PREC)
 from ilqr_admm_tpu.problem import QuadCost
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
+from ilqr_admm_tpu.solvers.admm import validate_constraint_blocks
 
 
 def make_batched_lqt_admm(
@@ -66,6 +67,7 @@ def make_batched_lqt_admm(
     or the cap is hit — the SPMD analogue of per-instance residual
     stopping (reference `admm.py:72-85`).
     """
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype

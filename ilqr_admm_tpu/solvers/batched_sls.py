@@ -22,10 +22,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ilqr_admm_tpu.ops.lifted import build_Su, build_Sw
+from ilqr_admm_tpu.ops.lifted import build_Su, build_Sx
 from ilqr_admm_tpu.problem import QuadCost
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
 from ilqr_admm_tpu.solvers.lqt import lqt_solve_sls
+from ilqr_admm_tpu.solvers.admm import validate_constraint_blocks
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -56,6 +57,7 @@ def make_batched_sls_admm(
     U (batch, Nm, p+1)) where `params` is any pytree with leading batch
     axis consumed by the projections (e.g. per-instance bounds).
     """
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype
@@ -68,8 +70,9 @@ def make_batched_sls_admm(
     PHI_unc, _ = lqt_solve_sls(A, B, cost)
 
     Su = build_Su(A, B)
-    Sw = build_Sw(A)
-    Sx = Sw[:, :p]
+    # first p columns of Sw, built directly (O(N d^2 p) vs the
+    # dense (Nd)^2 operator)
+    Sx = build_Sx(A, p).reshape(-1, p)
 
     Qr = broadcast_rho(rho_x, d, N, dtype)
     Rr = broadcast_rho(rho_u, m, N, dtype)

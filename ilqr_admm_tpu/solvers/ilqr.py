@@ -89,8 +89,9 @@ def ilqr_iterate_dp(
     """One DP iLQR iteration: Riccati backward + vmapped line search.
 
     riccati='sqrt' uses the array-form square-root backward pass
-    (`ops/sqrt_riccati.py`) — f32-stable at stiff weight ratios (requires
-    Cux = 0). Returns (new_state, accept, (K, k)).
+    (`ops/sqrt_riccati.py`) — f32-stable at stiff weight ratios; nonzero
+    Cux cross terms are handled by per-step completion of squares.
+    Returns (new_state, accept, (K, k)).
     """
     A, B = get_AB(state.x_nom, state.u_nom)
     cts, Cts = get_Cs(state.x_nom, state.u_nom)
@@ -238,8 +239,12 @@ def ilqr_solve(
             return ilqr_iterate_dp(*args, riccati=riccati)
     elif method == "sls":
         iterate = ilqr_iterate_sls
-    else:
+    elif method == "batch":
         iterate = ilqr_iterate_batch
+    else:
+        raise ValueError(
+            f"method must be 'dp', 'sls' or 'batch', got {method!r}"
+        )
 
     def cond(state):
         return jnp.logical_and(

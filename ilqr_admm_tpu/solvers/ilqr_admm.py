@@ -25,7 +25,7 @@ from jax.scipy.linalg import cho_factor, cho_solve
 from ilqr_admm_tpu.ops.lifted import build_Su
 from ilqr_admm_tpu.ops.rollout import rollout_nonlinear
 from ilqr_admm_tpu.problem import ADMMConfig, SolveStatus
-from ilqr_admm_tpu.solvers.admm import admm_solve
+from ilqr_admm_tpu.solvers.admm import admm_solve, validate_constraint_blocks
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
 
 
@@ -74,14 +74,18 @@ def _ilqr_admm_impl(
     memory (no dense lifted matrices), the solution the reference left
     as "TODO: add dp solution" (`isls.py:411`). Preferred for long
     horizons; riccati='sqrt' uses the array-form backward pass
-    (f32-stable at stiff weights, Cux = 0 required).
+    (f32-stable at stiff weights; Cux cross terms handled by completion
+    of squares).
     """
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     if method == "dp":
         return _ilqr_admm_dp(
             f, get_AB, cost_fn, x_nom0, u_nom0, get_Cs, quad_cost,
             project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
             alphas, alpha, tol, outer_tol, osc_tol, riccati, warm,
         )
+    if method != "batch":
+        raise ValueError(f"method must be 'dp' or 'batch', got {method!r}")
     N, d = x_nom0.shape
     m = u_nom0.shape[-1]
     dtype = x_nom0.dtype
@@ -142,13 +146,16 @@ def _ilqr_admm_impl(
             xs_c, us_c = jax.vmap(rollout_alpha)(alphas)
             costs = jax.vmap(cost_fn)(xs_c, us_c)
             costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
-            # augmented-cost candidate scoring (`isls.py:470-477`)
+            # augmented-cost candidate scoring (`isls.py:470-477`) —
+            # blockwise over the stacked penalties: the dense (Nd, Nd)
+            # form costs (Nd)^2 per candidate where the block-diagonal
+            # structure only needs N d^2
             if Qr_l is not None and x is not None:
-                dx = xs_c.reshape(len(alphas), -1) - x
-                costs = costs + jnp.einsum("ai,ij,aj->a", dx, Qr_l, dx)
+                dx = xs_c - x.reshape(N, d)
+                costs = costs + jnp.einsum("ati,tij,atj->a", dx, Qr, dx)
             if Rr_l is not None and u is not None:
-                du_ = us_c.reshape(len(alphas), -1) - u
-                costs = costs + jnp.einsum("ai,ij,aj->a", du_, Rr_l, du_)
+                du_ = us_c - u.reshape(N, m)
+                costs = costs + jnp.einsum("ati,tij,atj->a", du_, Rr, du_)
             ind = jnp.argmin(costs)
             return xs_c[ind].reshape(-1), us_c[ind].reshape(-1)
 

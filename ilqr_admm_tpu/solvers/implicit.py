@@ -32,6 +32,7 @@ from jax.scipy.linalg import cho_factor, cho_solve
 
 from ilqr_admm_tpu.ops.lifted import build_Su, sw_x0
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
+from ilqr_admm_tpu.solvers.admm import validate_constraint_blocks
 
 
 def _tree_delta(a, b):
@@ -135,6 +136,7 @@ def lqt_admm_implicit(
     theta via the IFT fixed-point VJP — e.g.
     `jax.grad(lambda th: loss(lqt_admm_implicit(A, B, th, ...)))`.
     """
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype

@@ -22,7 +22,7 @@ from jax.scipy.linalg import cho_factor, cho_solve
 from ilqr_admm_tpu.ops.lifted import build_Su, build_Sx
 from ilqr_admm_tpu.ops.rollout import rollout_nonlinear
 from ilqr_admm_tpu.problem import ADMMConfig, SolveStatus
-from ilqr_admm_tpu.solvers.admm import admm_solve
+from ilqr_admm_tpu.solvers.admm import admm_solve, validate_constraint_blocks
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
 
 
@@ -65,6 +65,7 @@ def _isls_admm_impl(
     nominal trajectory (column 0 is the feedforward delta, columns 1..p
     the response map).
     """
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     N, d = x_nom0.shape
     m = u_nom0.shape[-1]
     p = robust_dim

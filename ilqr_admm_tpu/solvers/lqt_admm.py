@@ -17,7 +17,7 @@ from jax.scipy.linalg import cho_factor, cho_solve
 from ilqr_admm_tpu.ops.lifted import build_Su, sw_x0
 from ilqr_admm_tpu.ops.riccati import lqt_backward, lqt_backward_ff
 from ilqr_admm_tpu.problem import ADMMConfig, QuadCost
-from ilqr_admm_tpu.solvers.admm import admm_solve
+from ilqr_admm_tpu.solvers.admm import admm_solve, validate_constraint_blocks
 from ilqr_admm_tpu.solvers.lqt import (
     block_diag_stacked,
     blockdiag_matmul,
@@ -53,6 +53,7 @@ def _lqt_admm_batch_impl(
     reference's stiff weight ratios (x_std up to 1e6; SURVEY §7 hard
     part). Slightly more setup cost; identical math.
     """
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     if use_qr:
         return _lqt_admm_batch_qr(
             A, B, cost, x0, project_x, project_u, rho_x, rho_u, cfg
@@ -239,6 +240,7 @@ def _lqt_admm_dp_impl(
 
     Returns (x_flat, u_flat, (K, k), info).
     """
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype

@@ -16,9 +16,9 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
-from ilqr_admm_tpu.ops.lifted import build_Su, build_Sw
+from ilqr_admm_tpu.ops.lifted import build_Su, build_Sx
 from ilqr_admm_tpu.problem import ADMMConfig, QuadCost
-from ilqr_admm_tpu.solvers.admm import admm_solve
+from ilqr_admm_tpu.solvers.admm import admm_solve, validate_constraint_blocks
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
 from ilqr_admm_tpu.solvers.lqt import lqt_solve_sls
 
@@ -44,6 +44,7 @@ def _sls_admm_impl(
     Returns (du (Nm,), phi_u (Nm, Nd), info). phi_u splices the optimized
     robust columns into the unconstrained response map (`sls.py:450`).
     """
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype
@@ -53,8 +54,9 @@ def _sls_admm_impl(
     PHI_U_unc, _ = lqt_solve_sls(A, B, cost)
 
     Su = build_Su(A, B)
-    Sw = build_Sw(A)
-    Sx = Sw[:, :p]
+    # first p columns of Sw, built directly (O(N d^2 p) vs the
+    # dense (Nd)^2 operator)
+    Sx = build_Sx(A, p).reshape(-1, p)
 
     Qr = broadcast_rho(rho_x, d, N, dtype)
     Rr = broadcast_rho(rho_u, m, N, dtype)

@@ -368,3 +368,63 @@ def test_prox_l1_properties(rng):
         vals = 0.5 * (zs - float(v[i])) ** 2 + t * np.abs(zs)
         z_best = zs[np.argmin(vals)]
         assert abs(pb[i] - z_best) < 1e-3, (i, pb[i], z_best)
+
+
+def test_constraint_block_pairing_validated():
+    """A projection without its rho (or vice versa) is a loud error, not
+    a silent unconstrained/biased solve (code-review finding: the
+    reference crashes with an opaque TypeError in the same situations)."""
+    plant, A, B, cost = control_bounds_problem(N=20)
+    x0 = jnp.zeros(plant.x_dim)
+    proj = lambda u: project_bound(u, -5.0, 5.0)
+    with pytest.raises(ValueError, match="rho_u"):
+        lqt_admm_batch(A, B, cost, x0, project_u=proj)  # no rho_u
+    with pytest.raises(ValueError, match="rho_x"):
+        lqt_admm_batch(A, B, cost, x0, project_u=proj, rho_u=1e-2, rho_x=1.0)
+    from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_dp
+    with pytest.raises(ValueError, match="rho_u"):
+        lqt_admm_dp(A, B, cost, x0, project_u=proj)
+    from ilqr_admm_tpu.solvers.batched import make_batched_lqt_admm
+    with pytest.raises(ValueError, match="rho_u"):
+        make_batched_lqt_admm(A, B, cost, project_u=lambda u: u)
+
+
+def test_adaptive_rho_unsupported_xupdate_clear_error():
+    """adaptive_rho with an x-update that does not take a rho scale gives
+    a clear error at the boundary, not a TypeError from tracing."""
+    plant, A, B, cost = control_bounds_problem(N=20)
+    x0 = jnp.zeros(plant.x_dim)
+    proj = lambda u: project_bound(u, -5.0, 5.0)
+    cfg = ADMMConfig(max_iter=5, adaptive_rho=True)
+    with pytest.raises(ValueError, match="adaptive_rho"):
+        lqt_admm_batch(A, B, cost, x0, project_u=proj, rho_u=1e-2,
+                       cfg=cfg, use_qr=True)
+
+
+def test_ilqr_unknown_method_raises():
+    from ilqr_admm_tpu.models.car import CarSimple
+    from ilqr_admm_tpu.ops.riccati import quad_cost_model
+    from ilqr_admm_tpu.ops.rollout import rollout_nonlinear
+    from ilqr_admm_tpu.problem import ILQRConfig
+    from ilqr_admm_tpu.solvers.ilqr import ilqr_init, ilqr_solve
+    from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
+    from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+    H = 10
+    car = CarSimple(dt=0.1)
+    target = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    zs = jnp.stack([target, target])
+    Qs = jnp.stack([jnp.eye(4), jnp.eye(4)])
+    seq = np.zeros(H, dtype=np.int32); seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, 1e-2, 2)
+    get_Cs = lambda xs, us: quad_cost_model(quad.Q, quad.xd, quad.R, xs, us)
+    x0 = jnp.zeros(4)
+    u0 = jnp.zeros((H, 2))
+    s0 = ilqr_init(car.step, quad, x0, u0)
+    with pytest.raises(ValueError, match="method"):
+        ilqr_solve(car.step, car.get_AB, get_Cs, quad, s0,
+                   ILQRConfig(max_iter=2), method="DP")
+    xs = rollout_nonlinear(car.step, x0, u0)
+    with pytest.raises(ValueError, match="method"):
+        ilqr_admm(car.step, car.get_AB, quad, xs, u0, get_Cs=get_Cs,
+                  project_u=lambda u: u, rho_u=1e-1, method="sls")
