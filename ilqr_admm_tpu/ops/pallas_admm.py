@@ -221,6 +221,16 @@ def make_pallas_lqt_admm(
     has_x = x_lower is not None or x_upper is not None
     if not (has_u or has_x):
         raise ValueError("at least one box constraint required")
+    # same invariant as solvers.admm.validate_constraint_blocks: bounds
+    # without a (nonzero) rho would be silently ignored by the x-update
+    # (W_u/SuTQr stay zero and the kernel returns the unconstrained
+    # optimum while zu looks feasible)
+    from ilqr_admm_tpu.solvers.admm import validate_constraint_blocks
+
+    validate_constraint_blocks(
+        object() if has_x else None, rho_x,
+        object() if has_u else None, rho_u,
+    )
 
     dtype = _F32
     A = A.astype(dtype)

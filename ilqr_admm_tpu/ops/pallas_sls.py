@@ -41,7 +41,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ilqr_admm_tpu.ops.lifted import build_Su, build_Sw
+from ilqr_admm_tpu.ops.lifted import build_Su, build_Sx
 from ilqr_admm_tpu.ops.pallas_admm import _dot3, _split_bf16
 from ilqr_admm_tpu.problem import QuadCost
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
@@ -116,9 +116,9 @@ def _sls_admm_kernel(
             zs.append(zi)
         lmbs = [[jnp.zeros_like(ys[0]) for _ in range(q)] for _ in range(nsets)]
 
-        def body(_, carry):
-            zs, lmbs = carry
-            # x-update: x = l_inv_cons (y + rho * sum_i A_i^T (z_i - b_i - l_i))
+        def x_update(zs, lmbs):
+            """x = l_inv_cons (y + rho * sum_i A_i^T (z_i - b_i - l_i)),
+            unrolled with compile-time coefficients."""
             rx = []
             for k in range(p1):
                 acc = ys[k]
@@ -138,6 +138,11 @@ def _sls_admm_kernel(
                     if c != 0.0:
                         acc = acc + c * rx[j]
                 xs.append(acc)
+            return xs
+
+        def body(_, carry):
+            zs, lmbs = carry
+            xs = x_update(zs, lmbs)
             # z / dual updates per set (sets.py:126-136)
             zs_new, lmbs_new = [], []
             for i in range(nsets):
@@ -168,26 +173,7 @@ def _sls_admm_kernel(
             (pack(zs), pack(lmbs)),
         )
         # one final x-update so the result reflects the last duals
-        rx = []
-        for k in range(p1):
-            acc = ys[k]
-            for i in range(nsets):
-                for r in range(q):
-                    a = float(soc_A[i][r, k])
-                    if a != 0.0:
-                        acc = acc + (cons_rho * a) * (
-                            zs[i][r] - b_slab(i, r) - lmbs[i][r]
-                        )
-            rx.append(acc)
-        xs = []
-        for k in range(p1):
-            acc = jnp.zeros_like(ys[0])
-            for j in range(p1):
-                c = float(l_inv_cons[k, j])
-                if c != 0.0:
-                    acc = acc + c * rx[j]
-            xs.append(acc)
-        return xs
+        return x_update(zs, lmbs)
 
     def outer_body(_, carry):
         Z, L, U = carry
@@ -249,6 +235,13 @@ def make_pallas_sls_admm(
     soc_A = tuple(np.asarray(a, np.float64) for a in soc_A)
     soc_b_fixed = tuple(np.asarray(b, np.float64) for b in soc_b_fixed)
     soc_b_bound = tuple(np.asarray(b, np.float64) for b in soc_b_bound)
+    if len({a.shape[0] for a in soc_A}) != 1:
+        # the kernel unrolls SOC rows with q = soc_A[0].shape[0]; ragged
+        # sets would have their extra rows silently dropped
+        raise ValueError(
+            "all soc_A constraint sets must have the same number of rows; "
+            f"got {[a.shape[0] for a in soc_A]} — zero-pad the smaller sets"
+        )
     lc = np.eye(p1)
     for a in soc_A:
         lc = lc + cons_rho * (a.T @ a)
@@ -260,8 +253,9 @@ def make_pallas_sls_admm(
         PHI_unc, _ = lqt_solve_sls(A, B, cost)
 
         Su = build_Su(A, B)
-        Sw = build_Sw(A)
-        Sx = Sw[:, :p]
+        # first p columns of Sw, built directly (O(N d^2 p) vs the dense
+        # (Nd)^2 operator)
+        Sx = build_Sx(A, p).reshape(-1, p)
         Rr = broadcast_rho(rho_u, m, N, dtype)
         Rr_l = block_diag_stacked(Rr)
 

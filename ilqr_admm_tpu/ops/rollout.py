@@ -21,9 +21,6 @@ from jax import lax
 
 from ilqr_admm_tpu.utils.precision import highest_precision
 
-def _noise(ws, t_arr):
-    return 0.0 if ws is None else ws
-
 
 @highest_precision
 def rollout_linear(

@@ -64,9 +64,16 @@ def project_quadratic(x, l, u):
     """
     x = jnp.asarray(x)
     val = 0.5 * jnp.sum(x * x, axis=-1, keepdims=True)
-    nrm = jnp.linalg.norm(x, axis=-1, keepdims=True) + _EPS
-    hi = x * jnp.sqrt(2.0 * u) / nrm
-    lo = x * jnp.sqrt(2.0 * l) / nrm
+    nrm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    hi = x * jnp.sqrt(2.0 * u) / (nrm + _EPS)  # val > u implies nrm > 0
+    # inner-shell branch: x ~ 0 has no unique nearest point — pick the
+    # first-coordinate direction deterministically instead of returning
+    # the (infeasible) zero vector (the reference divides by ||x|| and
+    # NaNs there; a commented-out random-perturbation hack at
+    # `projections.py:101-102` shows the same problem)
+    e1 = jnp.zeros_like(x).at[..., 0].set(1.0)
+    dir_lo = jnp.where(nrm > 1e-12, x / (nrm + _EPS), e1)
+    lo = dir_lo * jnp.sqrt(2.0 * l)
     return jnp.where(val > u, hi, jnp.where(val < l, lo, x))
 
 

@@ -97,6 +97,16 @@ def project_set_convex(
     single = x0.ndim == 1
     x0b = x0[None] if single else x0
     nb = len(projections)
+    if nb == 0:
+        raise ValueError(
+            "project_set_convex needs at least one (A, b, projection) "
+            "constraint set"
+        )
+    if len(As) != nb or len(bs) != nb:
+        raise ValueError(
+            f"As ({len(As)}), bs ({len(bs)}) and projections ({nb}) must "
+            "have equal lengths"
+        )
     dim = x0b.shape[-1]
 
     As = [jnp.asarray(A, x0b.dtype) for A in As]
@@ -287,12 +297,16 @@ def project_set_convex_dykstra(
     single = x0.ndim == 1
     u0 = x0[None] if single else x0
     nb = len(projections)
+    if nb == 0:
+        raise ValueError(
+            "project_set_convex_dykstra needs at least one projection"
+        )
 
     z_init = tuple(jnp.zeros_like(u0) for _ in range(nb))
 
     def cond(state):
         k, u, zs, cI = state
-        return jnp.logical_and(k <= max_iter, jnp.any(cI >= tol))
+        return jnp.logical_and(k < max_iter, jnp.any(cI >= tol))
 
     def body(state):
         k, u, zs, _ = state

@@ -97,3 +97,27 @@ def test_pallas_xu_matches_xla():
     x_r, u_r = solve_x(x0s)
     assert float(jnp.max(jnp.abs(u_p - u_r))) < 5e-2
     assert float(jnp.max(jnp.abs(x_p - x_r))) < 5e-2
+
+
+def test_pallas_builder_rejects_bounds_without_rho():
+    """Bounds without a (nonzero) rho would make the kernel return the
+    unconstrained optimum while looking feasible (review finding)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+    from ilqr_admm_tpu.ops.pallas_admm import make_pallas_lqt_admm
+    from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+    N = 16
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d, m = plant.x_dim, plant.u_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d)])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, m)
+    A, B = plant.AB(N)
+    with pytest.raises(ValueError, match="rho_u"):
+        make_pallas_lqt_admm(A, B, cost, u_lower=-1.0, u_upper=1.0)
+    with pytest.raises(ValueError, match="rho_u"):
+        make_pallas_lqt_admm(A, B, cost, u_lower=-1.0, u_upper=1.0, rho_u=0.0)

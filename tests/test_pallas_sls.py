@@ -81,3 +81,18 @@ def test_pallas_sls_matches_xla_path():
     margin = jnp.abs(du_p) + psi_inv * np.sqrt(0.01) * jnp.abs(U_p[:, :, 1])
     viol = jnp.maximum(margin - bounds[:, None], 0.0)
     assert float(jnp.max(viol)) < 0.05 * float(jnp.max(bounds)), float(jnp.max(viol))
+
+
+def test_pallas_sls_rejects_ragged_soc_rows():
+    """Constraint sets with differing row counts would have extra rows
+    silently dropped by the unrolled kernel (review finding)."""
+    import pytest
+
+    A, B, cost, d, m = _setup(16)
+    A3 = np.zeros((3, 2))
+    A5 = np.zeros((5, 2))
+    with pytest.raises(ValueError, match="same number of rows"):
+        make_pallas_sls_admm(
+            A, B, cost, [A3, A5], [np.zeros(3), np.zeros(5)],
+            [np.zeros(3), np.zeros(5)], rho_u=1e2, interpret=True,
+        )

@@ -280,3 +280,31 @@ class TestOutsideRotatedBoxes:
         strictly_feasible = depth(approx) <= 1e-9
         ok = jnp.where(strictly_feasible, d_exact <= d_admm + 1e-6, True)
         assert bool(jnp.all(ok))
+
+
+def test_project_quadratic_zero_vector_inner_shell():
+    """x=0 with l>0: the nearest-point set is the whole inner shell —
+    return a deterministic point ON it, not the infeasible zero vector
+    (review finding; the reference NaNs/keeps-zero there)."""
+    from ilqr_admm_tpu.projections import project_quadratic
+
+    z = project_quadratic(jnp.zeros(3), 0.5, 2.0)
+    val = 0.5 * float(jnp.sum(z * z))
+    assert abs(val - 0.5) < 1e-10, val  # on the inner shell
+    # batch: zero rows fixed, nonzero rows unchanged semantics
+    x = jnp.asarray([[0.0, 0.0], [3.0, 4.0]])
+    zb = project_quadratic(x, 0.5, 20.0)
+    assert abs(0.5 * float(jnp.sum(zb[0] ** 2)) - 0.5) < 1e-10
+    np.testing.assert_allclose(np.asarray(zb[1]), [3.0, 4.0], atol=1e-12)
+
+
+def test_project_set_convex_empty_raises():
+    from ilqr_admm_tpu.projections import (
+        project_set_convex,
+        project_set_convex_dykstra,
+    )
+
+    with pytest.raises(ValueError, match="at least one"):
+        project_set_convex(jnp.zeros(3))
+    with pytest.raises(ValueError, match="at least one"):
+        project_set_convex_dykstra(jnp.zeros(3), projections=())
