@@ -281,12 +281,12 @@ class SLS(_Base):
         ws = self._noise((x0b.shape[0], self.N, self.x_dim), noise_scale, rng)
 
         def one(x0_, ws_):
+            # ws_ is always an array here (zeros substituted by the caller)
             def step(x, inp):
                 At, Bt, ut, w = inp
                 return At @ x + Bt @ ut + w, (x, ut)
 
-            w_in = jnp.zeros((self.N, self.x_dim), _dtype()) if ws_ is None else ws_
-            _, (xs, us_) = jax.lax.scan(step, x0_, (self.A, self.B, us, w_in))
+            _, (xs, us_) = jax.lax.scan(step, x0_, (self.A, self.B, us, ws_))
             return xs, us_
 
         xs, us_out = jax.vmap(lambda a, w: one(a, w))(
@@ -595,6 +595,11 @@ class iSLS(_Base):
             # lifted history-feedback gains (Nm, Nd) / (Nm,) in delta
             # coordinates — usable directly with get_trajectory_sls.
             self._K_sls, self._k_sls = aux
+        # store the final linearization (reference `isls.py:93-100` sets
+        # self.A/self.B or self.AB every iteration) so controller()/Su/Sw
+        # work after solve instead of crashing on A=None / using stale
+        # pre-solve dynamics
+        self.AB = get_AB(self.x_nom, self.u_nom)
         return self
 
     def solve_ilqr(self, get_AB, get_Cs=None, max_ilqr_iter=100,
@@ -632,14 +637,10 @@ class iSLS(_Base):
         ws = self._noise((x0b.shape[0], self.N, self.x_dim), noise_scale, rng)
         f = self._forward_model
 
-        def one(a, w):
-            return rollout_nonlinear(f, a, us, w)
-
-        wsb = ws if ws is not None else None
-        if wsb is None:
+        if ws is None:
             xs = jax.vmap(lambda a: rollout_nonlinear(f, a, us))(x0b)
         else:
-            xs = jax.vmap(one)(x0b, wsb)
+            xs = jax.vmap(lambda a, w: rollout_nonlinear(f, a, us, w))(x0b, ws)
         usb = jnp.broadcast_to(us, (x0b.shape[0],) + us.shape)
         if single:
             return xs[0], us
@@ -734,6 +735,8 @@ class iSLS(_Base):
             method=method, riccati=riccati,
         )
         self.x_nom, self.u_nom = res.x_nom, res.u_nom
+        # store the linearization at the solution (see solve())
+        self.AB = get_AB(self.x_nom, self.u_nom)
         self._cost = float(res.cost)
         finite = np.asarray(res.cost_log)[: int(res.outer_iters)]
         self.cost_log.extend([float(c) for c in finite])

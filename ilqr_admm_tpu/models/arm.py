@@ -115,7 +115,10 @@ class PlanarArm:
         return jac(xs, us)
 
 
-_FLOAT_RE = re.compile(r'origin\s+xyz="([\d\.\-eE ]+)"')
+_FLOAT_RE = re.compile(r'origin\s+xyz="([\d\.\+\-eE ]+)"')
+# full <joint ...>...</joint> elements only — splitting on '<joint' would
+# leak the next link's <visual>/<inertial> origins into the joint block
+_JOINT_RE = re.compile(r"<joint\b.*?</joint>", re.DOTALL)
 
 
 def load_planar_arm_urdf(path: str, dt: float = 0.01) -> PlanarArm:
@@ -127,7 +130,7 @@ def load_planar_arm_urdf(path: str, dt: float = 0.01) -> PlanarArm:
     with open(path) as fh:
         text = fh.read()
     lengths = []
-    for joint_block in re.split(r"<joint\b", text)[1:]:
+    for joint_block in _JOINT_RE.findall(text):
         m = _FLOAT_RE.search(joint_block)
         if m:
             x = float(m.group(1).split()[0])

@@ -55,19 +55,31 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        # backend already initialized (single-host interactive use) —
-        # multi-host runs must call initialize() before any JAX op.
-        return False
+    except RuntimeError as e:
+        # only the "already initialized" case (single-host interactive
+        # use) degrades gracefully; a coordinator/handshake failure on a
+        # real multi-host run must NOT silently fall back to single-host
+        # (each host would compute independent "global" results)
+        if "already" in str(e).lower():
+            return False
+        raise
     return jax.process_count() > 1
 
 
 def host_shard(global_array: np.ndarray) -> np.ndarray:
-    """This host's contiguous shard of a host-replicated instance batch."""
+    """This host's contiguous shard of a host-replicated instance batch.
+
+    Remainder instances (batch % process_count) go one-per-host to the
+    first hosts, so every instance is assigned exactly once (shards may
+    differ in length by 1 — pass through `make_global_batch` for ragged
+    assembly, or size batches divisibly for fully uniform shards).
+    """
     n = jax.process_count()
     i = jax.process_index()
-    per = global_array.shape[0] // n
-    return global_array[i * per : (i + 1) * per]
+    per, rem = divmod(global_array.shape[0], n)
+    start = i * per + min(i, rem)
+    stop = start + per + (1 if i < rem else 0)
+    return global_array[start:stop]
 
 
 def make_global_batch(local_batch, mesh, axis: str = "data"):

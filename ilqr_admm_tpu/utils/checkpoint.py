@@ -24,18 +24,20 @@ def save_state(path: str, state: Any) -> str:
     """Persist a solver-state pytree. Returns the path written."""
     try:
         import orbax.checkpoint as ocp
-
-        path = os.path.abspath(path)
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, state, force=True)
-        ckptr.wait_until_finished()
-        return path
-    except Exception:
-        # fallback: flat npz (leaves by index) + treedef is re-supplied on load
+    except (ImportError, ModuleNotFoundError):
+        # fallback ONLY when orbax is unavailable; a genuine orbax save
+        # failure must surface, not leave a partial checkpoint dir
+        # shadowing a silently-written .npz at a different path
         flat, _ = _flatten_with_paths(state)
         npz_path = path if path.endswith(".npz") else path + ".npz"
         np.savez(npz_path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(flat)})
         return npz_path
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
 
 
 def restore_state(path: str, template: Any) -> Any:

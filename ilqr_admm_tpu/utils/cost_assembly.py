@@ -38,14 +38,19 @@ def find_precs(Qs, seq, sqrt: bool = False):
 
     The reference returns a sparse block-diagonal (`utils.py:101-115`);
     here the stacked form is canonical (use `QuadCost.lifted_Q()` for the
-    dense lifted matrix). With sqrt=True also returns elementwise
-    sqrt factors (reference semantics: entry-wise ** 0.5 of each block).
+    dense lifted matrix). With sqrt=True also returns symmetric PSD
+    matrix square roots S with S @ S = Q_t (the reference's entry-wise
+    ** 0.5 is only a square root for diagonal blocks and silently drops
+    off-diagonal coupling — NaNs on negative entries in the reference;
+    built to intent per SURVEY §2 defect policy).
     """
     Qs = jnp.asarray(Qs)
     seq = jnp.asarray(seq)
     precs = Qs[seq]
     if sqrt:
-        return precs, jnp.sqrt(jnp.maximum(precs, 0.0))
+        w, V = jnp.linalg.eigh(precs)
+        w = jnp.sqrt(jnp.maximum(w, 0.0))
+        return precs, jnp.einsum("tij,tj,tkj->tik", V, w, V)
     return precs
 
 
@@ -150,8 +155,10 @@ def run_once(f):
 
     def wrapper(*args, **kwargs):
         if not wrapper.has_run:
-            wrapper.has_run = True
+            # mark has_run only AFTER success: a first call that raises
+            # must not poison every later call with a silent None
             wrapper.result = f(*args, **kwargs)
+            wrapper.has_run = True
         return wrapper.result
 
     wrapper.has_run = False

@@ -46,4 +46,6 @@ def stiffness_ratio(Q, R) -> float:
     q_max = float(jnp.max(jnp.abs(Q)))
     r_diag = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
     r_min = float(jnp.min(jnp.where(r_diag > 0, r_diag, jnp.inf)))
-    return q_max / r_min if r_min > 0 else float("inf")
+    if not (r_min < float("inf")):  # all-zero R: worst conditioning
+        return float("inf") if q_max > 0 else 0.0
+    return q_max / r_min

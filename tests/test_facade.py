@@ -193,3 +193,27 @@ def test_facade_solve_dp_time_parallel():
         K_p, k_p = sls.solve_dp(time_parallel=tp)
         np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), atol=1e-8)
         np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), atol=1e-8)
+
+
+def test_isls_solve_stores_final_linearization():
+    """After solve/ilqr_admm the facade holds the linearization at the
+    solution (reference `isls.py:93-100` side effect) so Su/Sw/controller
+    work instead of crashing on A=None (review finding)."""
+    N = 40
+    car = CarFrontWheel(dt=0.05)
+    cost = CarParkingCost()
+    sls = iSLS(x_dim=4, u_dim=2, N=N)
+    sls.forward_model = car.step
+    sls.cost_function = cost
+    rng = np.random.default_rng(0)
+    u0 = rng.normal(size=(N, 2)) * 0.1
+    x0 = np.array([1.0, 1.0, 3 * np.pi / 2, 0.0])
+    x_nom, u_nom = sls.get_trajectory_batch(x0, u0)
+    sls.nominal_values = x_nom, u_nom
+    assert sls.A is None  # nothing stored before solve
+    sls.solve(car.get_AB, cost.get_Cs, max_iter=3, method="dp")
+    assert sls.A is not None and sls.A.shape == (N, 4, 4)
+    # stored linearization == linearization at the solved nominal
+    A_now, B_now = car.get_AB(sls.x_nom, sls.u_nom)
+    np.testing.assert_allclose(np.asarray(sls.A), np.asarray(A_now), atol=1e-12)
+    assert sls.Su.shape == (N * 4, N * 2)  # lifted operators build
