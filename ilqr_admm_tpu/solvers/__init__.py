@@ -20,6 +20,12 @@ from ilqr_admm_tpu.solvers.ilqr import (
     ilqr_solve,
 )
 from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
+from ilqr_admm_tpu.solvers.pd_ilqr import (
+    PDILQRState,
+    pd_ilqr_init,
+    pd_ilqr_iterate,
+    pd_ilqr_solve,
+)
 from ilqr_admm_tpu.solvers.isls_admm import isls_admm
 from ilqr_admm_tpu.solvers.batched import make_batched_lqt_admm
 from ilqr_admm_tpu.solvers.batched_sls import make_batched_sls_admm
