@@ -226,7 +226,9 @@ def lqt_backward_parallel(
             f"supports state dim <= 4 (got d={A.shape[-1]}); use the default "
             "LU combine for larger states"
         )
-    elems, U, s = value_elements(A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
+    elems, U, s = value_elements(
+        A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur, fast_inverse=fast_inverse
+    )
     N, d = A.shape[0], A.shape[-1]
     dtype = A.dtype
 
@@ -242,14 +244,20 @@ def lqt_backward_parallel(
             comb, lambda p: _identity_elems(p, d, dtype),
             elems, N, block_size,
         )
-    return gains_from_scanned(A, B, U, s, scanned)
+    return gains_from_scanned(A, B, U, s, scanned, fast_inverse=fast_inverse)
 
 
-def value_elements(A, B, Q, xd, R, Qr=None, xr=None, Rr=None, ur=None):
+def value_elements(
+    A, B, Q, xd, R, Qr=None, xr=None, Rr=None, ur=None,
+    fast_inverse: bool = False,
+):
     """Conditional-value-function elements (A, b, C, eta, J) for the
     parallel Riccati scan, plus the control Hessians/targets (U, s)
     needed for gain extraction. Shared by the single-device scans and
-    the mesh time-sharded path (`parallel/time_sharded.py`)."""
+    the mesh time-sharded path (`parallel/time_sharded.py`).
+
+    fast_inverse swaps the batched (N, m, m) LU solves for the adjugate
+    `inv_small` (m <= 4) — at N=10k this construction is LU-bound."""
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype
@@ -267,8 +275,13 @@ def value_elements(A, B, Q, xd, R, Qr=None, xr=None, Rr=None, ur=None):
     s = 2.0 * jnp.einsum("tij,tj->ti", zRr, zur)  # linear control targets
 
     # stage elements t = 0..N-2
-    Uinv_s = jnp.linalg.solve(U[:-1], s[:-1][..., None])[..., 0]
-    Uinv_BT = jnp.linalg.solve(U[:-1], jnp.swapaxes(B[:-1], -1, -2))
+    if fast_inverse:
+        Uinv = inv_small(U[:-1])
+        Uinv_s = jnp.einsum("tij,tj->ti", Uinv, s[:-1])
+        Uinv_BT = Uinv @ jnp.swapaxes(B[:-1], -1, -2)
+    else:
+        Uinv_s = jnp.linalg.solve(U[:-1], s[:-1][..., None])[..., 0]
+        Uinv_BT = jnp.linalg.solve(U[:-1], jnp.swapaxes(B[:-1], -1, -2))
     elem_A = A[:-1]
     elem_b = jnp.einsum("tij,tj->ti", B[:-1], Uinv_s)
     elem_C = B[:-1] @ Uinv_BT
@@ -287,9 +300,13 @@ def value_elements(A, B, Q, xd, R, Qr=None, xr=None, Rr=None, ur=None):
     return elems, U, s
 
 
-def gains_from_scanned(A, B, U, s, scanned) -> DPGains:
+def gains_from_scanned(A, B, U, s, scanned, fast_inverse: bool = False) -> DPGains:
     """Per-step gain extraction from scanned value functions
-    V_{t+1} = (J_{t+1}, eta_{t+1}); embarrassingly parallel over t."""
+    V_{t+1} = (J_{t+1}, eta_{t+1}); embarrassingly parallel over t.
+
+    fast_inverse: batched adjugate inverses of the (m, m) Quu blocks
+    (m <= 4) instead of per-step Cholesky — at long horizons the batched
+    tiny-Cholesky is a bottleneck (~6 ms of the N=10k solve)."""
     m = B.shape[-1]
     d = A.shape[-1]
     dtype = A.dtype
@@ -297,18 +314,29 @@ def gains_from_scanned(A, B, U, s, scanned) -> DPGains:
     Jn = J_all[1:]  # (N-1, d, d)
     etan = eta_val[1:]
 
-    def gains_one(At, Bt, Ut, st, Jt1, etat1):
-        Quu = Ut + Bt.T @ Jt1 @ Bt
-        Qux = Bt.T @ Jt1 @ At
-        qu = -st - Bt.T @ etat1
-        cf = cho_factor(0.5 * (Quu + Quu.T))
-        sol = -cho_solve(cf, jnp.concatenate([Qux, qu[:, None]], -1))
-        Quu_inv = cho_solve(cf, jnp.eye(Quu.shape[0], dtype=Quu.dtype))
-        return sol[:, :-1], sol[:, -1], Quu, Quu_inv, Qux
+    if fast_inverse:
+        BT = jnp.swapaxes(B[:-1], -1, -2)
+        BTJ = BT @ Jn
+        Quu = U[:-1] + BTJ @ B[:-1]
+        Quu = 0.5 * (Quu + jnp.swapaxes(Quu, -1, -2))
+        Qux = BTJ @ A[:-1]
+        qu = -s[:-1] - jnp.einsum("tij,tj->ti", BT, etan)
+        Quu_inv = inv_small(Quu)
+        K = -(Quu_inv @ Qux)
+        k = -jnp.einsum("tij,tj->ti", Quu_inv, qu)
+    else:
+        def gains_one(At, Bt, Ut, st, Jt1, etat1):
+            Quu = Ut + Bt.T @ Jt1 @ Bt
+            Qux = Bt.T @ Jt1 @ At
+            qu = -st - Bt.T @ etat1
+            cf = cho_factor(0.5 * (Quu + Quu.T))
+            sol = -cho_solve(cf, jnp.concatenate([Qux, qu[:, None]], -1))
+            Quu_inv = cho_solve(cf, jnp.eye(Quu.shape[0], dtype=Quu.dtype))
+            return sol[:, :-1], sol[:, -1], Quu, Quu_inv, Qux
 
-    K, k, Quu, Quu_inv, Qux = jax.vmap(gains_one)(
-        A[:-1], B[:-1], U[:-1], s[:-1], Jn, etan
-    )
+        K, k, Quu, Quu_inv, Qux = jax.vmap(gains_one)(
+            A[:-1], B[:-1], U[:-1], s[:-1], Jn, etan
+        )
 
     pad = lambda arr, tail: jnp.concatenate([arr, tail[None]], axis=0)
     return DPGains(

@@ -110,7 +110,9 @@ def lqt_backward_time_sharded(
             f"supports state dim <= 4 (got d={d}); use the default LU combine "
             "for larger states"
         )
-    elems, U, s = value_elements(A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur)
+    elems, U, s = value_elements(
+        A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur, fast_inverse=fast_inverse
+    )
     comb = functools.partial(_combine, fast_inverse=fast_inverse)
     scanned = time_sharded_suffix_scan(
         comb, lambda p: _identity_elems(p, d, dtype), elems, mesh, axis
@@ -120,4 +122,4 @@ def lqt_backward_time_sharded(
     scanned = jax.tree_util.tree_map(
         lambda x: jax.lax.with_sharding_constraint(x, sharding), scanned
     )
-    return gains_from_scanned(A, B, U, s, scanned)
+    return gains_from_scanned(A, B, U, s, scanned, fast_inverse=fast_inverse)
