@@ -27,6 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ilqr_admm_tpu.ops.pallas_riccati import lqt_backward_parallel_pallas
 from ilqr_admm_tpu.ops.parallel_riccati import lqt_backward_parallel
 from ilqr_admm_tpu.ops.riccati import lqt_backward
 from ilqr_admm_tpu.utils.cost_assembly import get_double_integrator_AB
@@ -80,9 +81,13 @@ def main():
 
         t_s = timeit(seq)
         line = f"N={N:>6}: sequential {t_s * 1e3:8.2f} ms"
+        def _pallas():
+            return lqt_backward_parallel_pallas(A, B, Q, xd, R)
+
         variants = [
             ("flat", _par), ("flat-fastinv", _par_f),
             ("blk128", _blk), ("blk128-fastinv", _blk_f),
+            ("pallas-blk", _pallas),
         ]
         if N >= 10000:
             # the flat scan's log-depth program takes minutes to compile
