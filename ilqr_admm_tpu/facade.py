@@ -611,6 +611,58 @@ class iSLS(_Base):
             verbose=verbose, **kw,
         )
 
+    def solve_boxddp(self, get_AB, u_lower, u_upper, get_Cs=None,
+                     max_iter=100, tol_fun=1e-7):
+        """Control-limited DDP: bounds inside the Riccati recursion.
+
+        First-class DP alternative to `ilqr_admm` for box-on-u problems
+        (no penalty tuning; every iterate exactly feasible). See
+        `solvers/boxddp.py`. Updates the nominal values in place.
+        """
+        from ilqr_admm_tpu.problem import ILQRConfig
+        from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
+
+        f = self._forward_model
+        cost_fn = self._cost_fn()
+        get_Cs_fn = self._get_Cs_or_quad(get_Cs)
+        st0 = boxddp_init(f, cost_fn, self.x_nom[0], self.u_nom, u_lower, u_upper)
+        out = jax.jit(
+            lambda st: boxddp_solve(
+                f, get_AB, get_Cs_fn, cost_fn, st, u_lower, u_upper,
+                cfg=ILQRConfig(max_iter=max_iter, tol_fun=tol_fun),
+            )
+        )(st0)
+        self.x_nom, self.u_nom = out.x_nom, out.u_nom
+        self._cost = float(out.cost)
+        self.cost_log.append(self._cost)
+        self.AB = get_AB(self.x_nom, self.u_nom)
+        return out
+
+    def solve_barrier(self, get_AB, barrier, get_Cs=None, max_iter=40,
+                      tol_fun=1e-9, mu0=1.0, mu_factor=5.0, n_barrier=6):
+        """Interior-point iLQR over stagewise cones (see
+        `solvers/barrier_ilqr.py::barrier_ilqr_solve`; build `barrier`
+        with `make_barrier(ineq=..., soc=...)`). The current nominal
+        controls must roll out strictly feasibly."""
+        from ilqr_admm_tpu.problem import ILQRConfig
+        from ilqr_admm_tpu.solvers.barrier_ilqr import barrier_ilqr_solve
+
+        f = self._forward_model
+        cost_fn = self._cost_fn()
+        get_Cs_fn = self._get_Cs_or_quad(get_Cs)
+        out = jax.jit(
+            lambda x0, u0: barrier_ilqr_solve(
+                f, get_AB, get_Cs_fn, cost_fn, x0, u0, barrier,
+                cfg=ILQRConfig(max_iter=max_iter, tol_fun=tol_fun),
+                mu0=mu0, mu_factor=mu_factor, n_barrier=n_barrier,
+            )
+        )(self.x_nom[0], self.u_nom)
+        self.x_nom, self.u_nom = out.x_nom, out.u_nom
+        self._cost = float(out.cost)
+        self.cost_log.append(self._cost)
+        self.AB = get_AB(self.x_nom, self.u_nom)
+        return out
+
     # ------------------------------------------------------------ rollouts
     @highest_precision
     def rollout_batch(self, x0, us):

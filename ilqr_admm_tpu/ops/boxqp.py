@@ -1,0 +1,81 @@
+"""Small box-constrained QP via projected Newton — the stage solver for
+control-limited DDP (boxDDP).
+
+Solves   min_u  (1/2) u^T H u + g^T u   s.t.  lb <= u <= ub
+for strictly convex H of small dimension (control dims, m <= ~8), as a
+fixed-iteration, branchless program so it jits, vmaps over batch/stage
+axes, and runs inside `lax.scan` Riccati recursions.
+
+The reference handles control bounds only through ADMM splitting
+(`isls.py:379-501`); this kernel enables the *first-class* DP treatment
+(Tassa, Mansard & Todorov, ICRA 2014: "Control-limited differential
+dynamic programming"): per-stage box-QP in the backward pass, feedback
+restricted to the free subspace, clipped forward rollouts.
+
+TPU notes: every iteration is a masked m x m solve + an m-point
+backtracking grid — all fixed shape; no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ilqr_admm_tpu.utils.precision import highest_precision
+
+# projected-Newton backtracking grid (fixed shape; cheap at small m)
+_ALPHAS = (1.0, 0.5, 0.25, 0.1)
+
+
+def _masked_solve(H, free, rhs):
+    """Solve H_ff x_f = rhs_f on the free subspace; zeros on clamped dims.
+
+    Builds M = F H F + (I - F) with F = diag(free) so the clamped rows
+    decouple to the identity — one fixed-shape solve regardless of the
+    active set (no gather/scatter, vmap/scan friendly).
+    """
+    m = H.shape[-1]
+    F = free.astype(H.dtype)
+    M = H * F[:, None] * F[None, :] + jnp.diag(1.0 - F)
+    x = jnp.linalg.solve(M, rhs * (F[:, None] if rhs.ndim == 2 else F))
+    return x * (F[:, None] if rhs.ndim == 2 else F)
+
+
+@highest_precision
+def boxqp(H, g, lb, ub, u0=None, n_iters: int = 12, eps: float = 1e-9):
+    """Projected-Newton box QP. Returns (u, free_mask (bool m,)).
+
+    `free_mask` marks dimensions NOT clamped at a bound by the KKT test
+    (at a bound with the gradient pushing outward); the boxDDP backward
+    pass zeroes feedback on the clamped complement.
+    """
+    mdim = H.shape[-1]
+    dtype = H.dtype
+    lb = jnp.broadcast_to(jnp.asarray(lb, dtype), (mdim,))
+    ub = jnp.broadcast_to(jnp.asarray(ub, dtype), (mdim,))
+    u_init = jnp.zeros(mdim, dtype) if u0 is None else jnp.asarray(u0, dtype)
+    u_init = jnp.clip(u_init, lb, ub)
+
+    def obj(u):
+        return 0.5 * u @ H @ u + g @ u
+
+    def clamped_mask(u, grad):
+        at_lo = (u <= lb + eps) & (grad > 0)
+        at_hi = (u >= ub - eps) & (grad < 0)
+        return at_lo | at_hi
+
+    def step(u, _):
+        grad = H @ u + g
+        free = ~clamped_mask(u, grad)
+        du = _masked_solve(H, free, -grad)
+        cands = jnp.stack([jnp.clip(u + a * du, lb, ub) for a in _ALPHAS])
+        vals = jax.vmap(obj)(cands)
+        best = cands[jnp.argmin(vals)]
+        u_new = jnp.where(vals.min() < obj(u), best, u)
+        return u_new, None
+
+    u, _ = lax.scan(step, u_init, None, length=n_iters)
+    grad = H @ u + g
+    free = ~clamped_mask(u, grad)
+    return u, free

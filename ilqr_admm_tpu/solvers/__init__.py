@@ -39,6 +39,9 @@ from ilqr_admm_tpu.solvers.mpc import (
     run_mpc,
 )
 from ilqr_admm_tpu.solvers.implicit import fixed_point, lqt_admm_implicit
+from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_iterate, boxddp_solve
+from ilqr_admm_tpu.solvers.barrier_ilqr import barrier_ilqr_solve, make_barrier
+from ilqr_admm_tpu.solvers.al_ilqr import ALResult, al_ilqr_solve
 
 __all__ = [
     "lqt_solve_batch",
@@ -73,4 +76,11 @@ __all__ = [
     "mpc_constrained_init",
     "fixed_point",
     "lqt_admm_implicit",
+    "boxddp_init",
+    "boxddp_iterate",
+    "boxddp_solve",
+    "barrier_ilqr_solve",
+    "make_barrier",
+    "ALResult",
+    "al_ilqr_solve",
 ]

@@ -1,0 +1,120 @@
+"""boxDDP: control-limited DDP with the box-QP backward pass.
+
+First-class DP treatment of control bounds — the direct alternative to
+`solvers/ilqr_admm.py`'s splitting for the common box-on-u case
+(reference reaches this capability only via ADMM, `isls.py:379-501`;
+its DDP-replicate notebook reproduces Tassa's control-limited car with
+projections). Here the bounds live inside the Riccati recursion
+(`ops/constrained_riccati.py`), iterates are feasible at every step
+(clipped rollouts), and there are no penalty parameters to tune.
+
+Same jit/vmap contract as `solvers/ilqr.py::ilqr_solve`: the whole solve
+is a `lax.while_loop`, so it vmaps over problem instances and shards
+over a ('data',) mesh axis via `parallel/batch.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ilqr_admm_tpu.ops.constrained_riccati import (
+    ilqr_backward_box,
+    rollout_closed_loop_clipped,
+)
+from ilqr_admm_tpu.ops.rollout import rollout_nonlinear
+from ilqr_admm_tpu.problem import ILQRConfig, SolveStatus, line_search_alphas
+from ilqr_admm_tpu.solvers.ilqr import ILQRState, _select_candidate
+from ilqr_admm_tpu.utils.precision import highest_precision
+
+
+def boxddp_init(f: Callable, cost_fn: Callable, x0, u0, u_lower, u_upper) -> ILQRState:
+    """Clip the initial controls into the box, roll out, evaluate cost."""
+    u0 = jnp.clip(u0, u_lower, u_upper)
+    xs = rollout_nonlinear(f, x0, u0)
+    c = cost_fn(xs, u0)
+    return ILQRState(
+        x_nom=xs, u_nom=u0, cost=c, prev_cost=jnp.asarray(jnp.inf, c.dtype),
+        iteration=jnp.int32(0), status=jnp.int32(SolveStatus.RUNNING),
+    )
+
+
+@highest_precision
+def boxddp_iterate(
+    f: Callable,
+    get_AB: Callable,
+    get_Cs: Callable,
+    cost_fn: Callable,
+    state: ILQRState,
+    alphas: jax.Array,
+    u_lower,
+    u_upper,
+    reg: float = 0.0,
+    qp_iters: int = 12,
+):
+    """One boxDDP iteration: box-QP backward pass + clipped line search."""
+    A, B = get_AB(state.x_nom, state.u_nom)
+    cts, Cts = get_Cs(state.x_nom, state.u_nom)
+    K, k = ilqr_backward_box(
+        A, B, Cts, cts, state.u_nom, u_lower, u_upper, reg=reg, qp_iters=qp_iters
+    )
+
+    def rollout_alpha(alpha):
+        return rollout_closed_loop_clipped(
+            f, state.x_nom[0], K, alpha * k, state.x_nom, state.u_nom,
+            u_lower, u_upper,
+        )
+
+    xs_cand, us_cand = jax.vmap(rollout_alpha)(alphas)
+    new_state, accept = _select_candidate(cost_fn, xs_cand, us_cand, state)
+    return new_state, accept, (K, k)
+
+
+@highest_precision
+def boxddp_solve(
+    f: Callable,
+    get_AB: Callable,
+    get_Cs: Callable,
+    cost_fn: Callable,
+    state0: ILQRState,
+    u_lower,
+    u_upper,
+    cfg: ILQRConfig = ILQRConfig(),
+    reg: float = 0.0,
+    qp_iters: int = 12,
+) -> ILQRState:
+    """Full boxDDP solve as a jittable while_loop (vmaps over instances).
+
+    Every accepted iterate satisfies the control bounds exactly (clipped
+    rollouts) — unlike ADMM, where feasibility holds only at the
+    splitting tolerance.
+    """
+    alphas = line_search_alphas(cfg, state0.x_nom.dtype)
+
+    def cond(state):
+        return jnp.logical_and(
+            state.iteration < cfg.max_iter, state.status == SolveStatus.RUNNING
+        )
+
+    def body(state):
+        new_state, accept, _ = boxddp_iterate(
+            f, get_AB, get_Cs, cost_fn, state, alphas,
+            u_lower, u_upper, reg=reg, qp_iters=qp_iters,
+        )
+        dcost = jnp.abs(new_state.cost - new_state.prev_cost)
+        status = jnp.where(
+            jnp.logical_not(accept),
+            SolveStatus.LINE_SEARCH_FAILED,
+            jnp.where(dcost < cfg.tol_fun, SolveStatus.CONVERGED, SolveStatus.RUNNING),
+        ).astype(jnp.int32)
+        return new_state._replace(status=status)
+
+    out = lax.while_loop(cond, body, state0)
+    return out._replace(
+        status=jnp.where(
+            out.status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, out.status
+        ).astype(jnp.int32)
+    )

@@ -1,0 +1,153 @@
+"""Augmented-Lagrangian iLQR tests.
+
+Oracles:
+- LQ + state(velocity) bounds: AL matches the converged lifted-ADMM
+  solution (two independent constrained solvers);
+- equality constraint (pinned terminal state): residual driven to ~0 and
+  cost matches the stiff-penalty limit;
+- infeasible initialization: AL recovers (the barrier method cannot).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+from ilqr_admm_tpu.ops.riccati import quad_cost_model
+from ilqr_admm_tpu.problem import ADMMConfig, ILQRConfig
+from ilqr_admm_tpu.projections import project_bound
+from ilqr_admm_tpu.solvers.al_ilqr import al_ilqr_solve
+from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_batch
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+
+def _lq_setup(nb_deriv=2, m=1, N=60, u_std=1e-2):
+    plant = DoubleIntegrator(m, nb_deriv, dt=1.0 / N)
+    plant.get_AB = lambda xs, us: plant.AB(xs.shape[0])
+    d = plant.x_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.ones(d).at[d // 2 :].set(0.0)])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(jnp.asarray(zs), jnp.asarray(Qs), seq, u_std, plant.u_dim)
+    return plant, cost
+
+
+def test_state_bounds_match_admm():
+    # velocity bound |v| <= 1.2 forces a plateau on the way to the target
+    plant, cost = _lq_setup(nb_deriv=2, m=1, N=60)
+    N = 60
+    d = plant.x_dim
+    A, B = plant.AB(N)
+    x0 = jnp.zeros(d)
+    vmax = 1.2
+
+    def proj_x(x):
+        xs = x.reshape(N, d)
+        v = jnp.clip(xs[:, 1:], -vmax, vmax)
+        return jnp.concatenate([xs[:, :1], v], axis=1).reshape(-1)
+
+    xf, uf, _ = lqt_admm_batch(
+        A, B, cost, x0, project_x=proj_x, rho_x=1e1,
+        cfg=ADMMConfig(max_iter=4000, tol=1e-10),
+    )
+    c_admm = float(cost(xf.reshape(N, d), uf.reshape(N, -1)))
+    assert float(jnp.abs(xf.reshape(N, d)[:, 1]).max()) <= vmax + 1e-6
+
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+    res = al_ilqr_solve(
+        plant.step, plant.get_AB, get_Cs, cost,
+        x0, jnp.zeros((N, 1)),
+        ineq=lambda x, u: jnp.asarray([x[1] - vmax, -x[1] - vmax]),
+        cfg=ILQRConfig(max_iter=40, tol_fun=1e-12),
+        n_al=12, mu0=1.0, mu_factor=5.0, tol_con=1e-8,
+    )
+    assert float(res.max_violation) < 1e-6
+    assert abs(float(res.cost) - c_admm) < 5e-3 * max(1.0, abs(c_admm)), (
+        float(res.cost), c_admm,
+    )
+    # the bound binds (otherwise the test proves nothing)
+    assert float(jnp.abs(res.x_nom[:, 1]).max()) > 0.99 * vmax
+
+
+def test_midhorizon_equality_pin():
+    # pin the mid-horizon state exactly: x_{N/2} = [0.3, 0] (a via-point
+    # as a HARD constraint, not a weight) — uses the t-aware signature
+    plant, cost = _lq_setup(nb_deriv=2, m=1, N=50)
+    N = 50
+    d = plant.x_dim
+    x0 = jnp.zeros(d)
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+    t_pin = N // 2
+    target = jnp.asarray([0.3, 0.0])
+
+    def eq(x, u, t):
+        del u
+        return jnp.where(t == t_pin, x - target, jnp.zeros(d))
+
+    res = al_ilqr_solve(
+        plant.step, plant.get_AB, get_Cs, cost,
+        x0, jnp.zeros((N, 1)), eq=eq,
+        cfg=ILQRConfig(max_iter=40, tol_fun=1e-12),
+        n_al=12, mu0=1.0, mu_factor=5.0, tol_con=1e-9,
+    )
+    resid = np.abs(np.asarray(res.x_nom[t_pin]) - np.asarray(target))
+    assert resid.max() < 1e-6, resid
+    # the final via-point target is still reached well
+    assert abs(float(res.x_nom[-1, 0]) - 1.0) < 0.05
+
+
+def test_moving_belt_equality():
+    # require velocity == 0.6 at every stage after the first (x_0 fixed)
+    plant, cost = _lq_setup(nb_deriv=2, m=1, N=50)
+    N = 50
+    x0 = jnp.zeros(plant.x_dim)
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+
+    def eq(x, u, t):
+        del u
+        return jnp.where(t > 0, jnp.asarray([x[1] - 0.6]), jnp.zeros(1))
+
+    res = al_ilqr_solve(
+        plant.step, plant.get_AB, get_Cs, cost,
+        x0, jnp.zeros((N, 1)), eq=eq,
+        cfg=ILQRConfig(max_iter=40, tol_fun=1e-12),
+        n_al=12, mu0=1.0, mu_factor=5.0, tol_con=1e-9,
+    )
+    resid = np.abs(np.asarray(res.x_nom[1:, 1]) - 0.6)
+    assert resid.max() < 1e-6, resid.max()
+
+
+def test_infeasible_init_recovers():
+    plant, cost = _lq_setup(nb_deriv=2, m=1, N=40)
+    N = 40
+    x0 = jnp.zeros(plant.x_dim)
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+    # initial controls massively violate |u| <= 2
+    u0 = 10.0 * jnp.ones((N, 1))
+    res = al_ilqr_solve(
+        plant.step, plant.get_AB, get_Cs, cost,
+        x0, u0,
+        ineq=lambda x, u: jnp.asarray([u[0] - 2.0, -u[0] - 2.0]),
+        cfg=ILQRConfig(max_iter=40, tol_fun=1e-12),
+        n_al=12, mu0=1.0, mu_factor=5.0, tol_con=1e-8,
+    )
+    assert float(res.max_violation) < 1e-6
+    assert float(jnp.max(jnp.abs(res.u_nom))) <= 2.0 + 1e-6
+
+
+def test_jits_and_vmaps():
+    plant, cost = _lq_setup(nb_deriv=2, m=1, N=40)
+    N = 40
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+
+    def solve_one(x0):
+        return al_ilqr_solve(
+            plant.step, plant.get_AB, get_Cs, cost, x0, jnp.zeros((N, 1)),
+            ineq=lambda x, u: jnp.asarray([u[0] - 2.0, -u[0] - 2.0]),
+            cfg=ILQRConfig(max_iter=10), n_al=4,
+        ).cost
+
+    x0s = jnp.asarray(np.random.default_rng(0).normal(0, 0.1, size=(3, plant.x_dim)))
+    costs = jax.jit(jax.vmap(solve_one))(x0s)
+    assert costs.shape == (3,) and bool(jnp.all(jnp.isfinite(costs)))

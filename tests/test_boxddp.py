@@ -1,0 +1,245 @@
+"""First-class constrained DP: boxQP / boxDDP / barrier-iLQR tests.
+
+Oracles:
+- boxqp vs. scipy L-BFGS-B on random strictly convex QPs;
+- boxDDP with inactive bounds == unconstrained iLQR;
+- boxDDP on the LQ double integrator with |u| <= 5 matches the lifted
+  ADMM solution (reference golden: ADMM cost 1.250e1, control-bounds
+  notebook c11) — two completely independent constrained solvers;
+- barrier iLQR with a per-stage SOC ||u_t|| <= s matches ADMM with the
+  exact ball projection, and iterates are strictly feasible.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+from ilqr_admm_tpu.ops.boxqp import boxqp
+from ilqr_admm_tpu.ops.riccati import quad_cost_model
+from ilqr_admm_tpu.problem import ADMMConfig, ILQRConfig
+from ilqr_admm_tpu.solvers.barrier_ilqr import barrier_ilqr_solve, make_barrier
+from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
+from ilqr_admm_tpu.solvers.ilqr import ilqr_init, ilqr_solve
+from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+
+def _lq_setup(nb_deriv=2, m=1, N=100, u_std=1e-2):
+    plant = DoubleIntegrator(m, nb_deriv, dt=1.0 / N)
+    plant.get_AB = lambda xs, us: plant.AB(xs.shape[0])
+    d = plant.x_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.ones(d).at[d // 2 :].set(0.0)])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(jnp.asarray(zs), jnp.asarray(Qs), seq, u_std, plant.u_dim)
+    return plant, cost
+
+
+class TestBoxQP:
+    def test_matches_lbfgsb(self, rng):
+        from scipy.optimize import minimize
+
+        for _ in range(20):
+            m = 4
+            M = rng.normal(size=(m, m))
+            H = M @ M.T + 0.5 * np.eye(m)
+            g = rng.normal(size=m) * 3.0
+            lb, ub = -np.abs(rng.normal(size=m)), np.abs(rng.normal(size=m))
+            u, free = boxqp(jnp.asarray(H), jnp.asarray(g), jnp.asarray(lb), jnp.asarray(ub))
+            ref = minimize(
+                lambda z: 0.5 * z @ H @ z + g @ z,
+                np.clip(np.zeros(m), lb, ub),
+                jac=lambda z: H @ z + g,
+                bounds=list(zip(lb, ub)),
+                method="L-BFGS-B",
+                options={"ftol": 1e-14, "gtol": 1e-12},
+            )
+            np.testing.assert_allclose(np.asarray(u), ref.x, atol=1e-6)
+            # free mask consistency: clamped dims sit exactly at a bound
+            ufree = np.asarray(free)
+            at_bound = (np.asarray(u) <= lb + 1e-8) | (np.asarray(u) >= ub - 1e-8)
+            assert np.all(at_bound[~ufree])
+
+    def test_unconstrained_interior(self, rng):
+        H = jnp.eye(3) * 2.0
+        g = jnp.asarray([0.1, -0.2, 0.05])
+        u, free = boxqp(H, g, -10.0, 10.0)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(-g / 2.0), atol=1e-10)
+        assert bool(jnp.all(free))
+
+
+class TestBoxDDP:
+    def test_inactive_bounds_match_unconstrained(self):
+        plant, cost = _lq_setup()
+        N = 100
+        x0 = jnp.zeros(plant.x_dim)
+        u0 = jnp.zeros((N, plant.u_dim))
+        get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+
+        st_u = ilqr_solve(
+            plant.step, plant.get_AB, get_Cs, cost, ilqr_init(plant.step, cost, x0, u0),
+            cfg=ILQRConfig(max_iter=30),
+        )
+        st_b = boxddp_solve(
+            plant.step, plant.get_AB, get_Cs, cost,
+            boxddp_init(plant.step, cost, x0, u0, -1e6, 1e6),
+            u_lower=-1e6, u_upper=1e6, cfg=ILQRConfig(max_iter=30),
+        )
+        assert abs(float(st_b.cost) - float(st_u.cost)) < 1e-6 * max(1.0, float(st_u.cost))
+
+    def test_control_bounds_match_admm_golden(self):
+        # reference golden (control-bounds c11): constrained cost 1.250e1,
+        # unconstrained 1.237e1, max |u| hugs the bound 5.
+        from ilqr_admm_tpu.projections import project_bound
+        from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_batch
+
+        plant, cost = _lq_setup(nb_deriv=2, m=1, N=100)
+        N = 100
+        A, B = plant.AB(N)
+        x0 = jnp.zeros(plant.x_dim)
+        xf, uf, _ = lqt_admm_batch(
+            A, B, cost, x0,
+            project_u=lambda u: project_bound(u, -5.0, 5.0),
+            rho_u=1e-2, cfg=ADMMConfig(max_iter=300, tol=1e-6),
+        )
+        u_admm = uf.reshape(N, plant.u_dim)
+        c_admm = float(cost(xf.reshape(N, -1), u_admm))
+
+        get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+        st = boxddp_solve(
+            plant.step, plant.get_AB, get_Cs, cost,
+            boxddp_init(plant.step, cost, x0, jnp.zeros((N, 1)), -5.0, 5.0),
+            u_lower=-5.0, u_upper=5.0, cfg=ILQRConfig(max_iter=60, tol_fun=1e-10),
+        )
+        assert float(jnp.max(jnp.abs(st.u_nom))) <= 5.0 + 1e-9  # exact feasibility
+        # two independent constrained solvers agree on the optimum
+        assert abs(float(st.cost) - c_admm) < 2e-3 * max(1.0, abs(c_admm)), (
+            float(st.cost), c_admm,
+        )
+        # bound is active at the optimum
+        assert float(jnp.max(jnp.abs(st.u_nom))) > 4.99
+
+    def test_vmaps_over_instances(self):
+        plant, cost = _lq_setup()
+        N = 100
+        get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+
+        def solve_one(x0):
+            st0 = boxddp_init(plant.step, cost, x0, jnp.zeros((N, plant.u_dim)), -5.0, 5.0)
+            return boxddp_solve(
+                plant.step, plant.get_AB, get_Cs, cost, st0,
+                u_lower=-5.0, u_upper=5.0, cfg=ILQRConfig(max_iter=20),
+            ).cost
+
+        x0s = jnp.asarray(np.random.default_rng(1).normal(0, 0.1, size=(4, plant.x_dim)))
+        costs = jax.jit(jax.vmap(solve_one))(x0s)
+        assert costs.shape == (4,) and bool(jnp.all(jnp.isfinite(costs)))
+
+
+class TestBarrierILQR:
+    def test_soc_matches_admm_ball_projection(self):
+        # per-stage ball ||u_t|| <= s on a 2-input double integrator
+        from ilqr_admm_tpu.projections import project_quadratic
+        from ilqr_admm_tpu.solvers.lqt_admm import lqt_admm_batch
+
+        plant, cost = _lq_setup(nb_deriv=2, m=2, N=60)
+        N = 60
+        s = 3.0
+        A, B = plant.AB(N)
+        x0 = jnp.zeros(plant.x_dim)
+
+        def proj_u(u):
+            # ball of radius s: 0.5 ||v||^2 <= 0.5 s^2
+            return jax.vmap(lambda v: project_quadratic(v, 0.0, 0.5 * s * s))(
+                u.reshape(N, 2)
+            ).reshape(-1)
+
+        # converged oracle (also cross-checked against scipy SLSQP at
+        # 394.17634 during development): slack rho under-converges here
+        xf, uf, _ = lqt_admm_batch(
+            A, B, cost, x0, project_u=proj_u, rho_u=1e-1,
+            cfg=ADMMConfig(max_iter=4000, tol=1e-10),
+        )
+        c_admm = float(cost(xf.reshape(N, -1), uf.reshape(N, 2)))
+
+        get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+        barrier = make_barrier(soc=lambda x, u: [(jnp.asarray(s, u.dtype), u)])
+        st = barrier_ilqr_solve(
+            plant.step, plant.get_AB, get_Cs, cost,
+            x0, jnp.zeros((N, 2)), barrier,
+            cfg=ILQRConfig(max_iter=40, tol_fun=1e-10),
+            mu0=1.0, mu_factor=8.0, n_barrier=7,
+        )
+        norms = jnp.linalg.norm(st.u_nom, axis=-1)
+        assert float(norms.max()) <= s + 1e-9  # strictly feasible
+        assert abs(float(st.cost) - c_admm) < 5e-3 * max(1.0, abs(c_admm)), (
+            float(st.cost), c_admm,
+        )
+        # the cone is active at the optimum (else the test proves nothing)
+        assert float(norms.max()) > 0.95 * s
+
+    def test_elementwise_barrier_matches_boxddp(self):
+        plant, cost = _lq_setup(nb_deriv=2, m=1, N=80)
+        N = 80
+        get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+        x0 = jnp.zeros(plant.x_dim)
+
+        st_box = boxddp_solve(
+            plant.step, plant.get_AB, get_Cs, cost,
+            boxddp_init(plant.step, cost, x0, jnp.zeros((N, 1)), -5.0, 5.0),
+            u_lower=-5.0, u_upper=5.0, cfg=ILQRConfig(max_iter=60, tol_fun=1e-10),
+        )
+        barrier = make_barrier(
+            ineq=lambda x, u: jnp.concatenate([u + 5.0, 5.0 - u])
+        )
+        st_bar = barrier_ilqr_solve(
+            plant.step, plant.get_AB, get_Cs, cost,
+            x0, jnp.zeros((N, 1)), barrier,
+            cfg=ILQRConfig(max_iter=40, tol_fun=1e-10),
+            mu0=1.0, mu_factor=8.0, n_barrier=7,
+        )
+        assert float(jnp.max(jnp.abs(st_bar.u_nom))) <= 5.0
+        assert abs(float(st_bar.cost) - float(st_box.cost)) < 5e-3 * max(
+            1.0, abs(float(st_box.cost))
+        )
+
+    def test_infeasible_init_fails_cleanly(self):
+        plant, cost = _lq_setup(nb_deriv=2, m=1, N=20)
+        get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+        barrier = make_barrier(ineq=lambda x, u: jnp.concatenate([u + 0.1, 0.1 - u]))
+        st = barrier_ilqr_solve(
+            plant.step, plant.get_AB, get_Cs, cost,
+            jnp.zeros(plant.x_dim), jnp.ones((20, 1)),  # |u|=1 > 0.1: infeasible
+            barrier, cfg=ILQRConfig(max_iter=5), n_barrier=2,
+        )
+        assert not bool(jnp.isfinite(cost(st.x_nom, st.u_nom)) & (jnp.max(jnp.abs(st.u_nom)) <= 0.1))
+
+
+class TestFacade:
+    def test_facade_boxddp_and_barrier(self):
+        from ilqr_admm_tpu import iSLS
+
+        plant, cost = _lq_setup(nb_deriv=2, m=1, N=60)
+        N = 60
+        s = iSLS(x_dim=plant.x_dim, u_dim=plant.u_dim, N=N)
+        s.forward_model = plant.step
+        s.cost_function = cost
+        x0 = jnp.zeros(plant.x_dim)
+        get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+        s.nominal_values = s.get_trajectory_batch(x0, jnp.zeros((N, 1)))
+        out = s.solve_boxddp(plant.get_AB, -5.0, 5.0, get_Cs=get_Cs)
+        assert float(jnp.max(jnp.abs(out.u_nom))) <= 5.0 + 1e-12
+        assert s.cost_log and s.cost_log[-1] == float(out.cost)
+
+        s2 = iSLS(x_dim=plant.x_dim, u_dim=plant.u_dim, N=N)
+        s2.forward_model = plant.step
+        s2.cost_function = cost
+        s2.nominal_values = s2.get_trajectory_batch(x0, jnp.zeros((N, 1)))
+        barrier = make_barrier(ineq=lambda x, u: jnp.concatenate([u + 5.0, 5.0 - u]))
+        out2 = s2.solve_barrier(plant.get_AB, barrier, get_Cs=get_Cs,
+                                n_barrier=6, mu_factor=8.0)
+        assert float(jnp.max(jnp.abs(out2.u_nom))) <= 5.0
+        # facade paths agree with each other
+        assert abs(float(out2.cost) - float(out.cost)) < 1e-2 * max(1.0, float(out.cost))
