@@ -638,6 +638,32 @@ class iSLS(_Base):
         self.AB = get_AB(self.x_nom, self.u_nom)
         return out
 
+    def solve_al(self, get_AB, ineq=None, eq=None, get_Cs=None, max_iter=40,
+                 tol_fun=1e-9, n_al=10, mu0=1.0, mu_factor=5.0, tol_con=1e-6):
+        """Augmented-Lagrangian iLQR over general stagewise constraints
+        (`solvers/al_ilqr.py::al_ilqr_solve`): ineq(x,u[,t]) <= 0,
+        eq(x,u[,t]) = 0; handles state constraints and infeasible
+        initial controls. Updates the nominal values in place and
+        returns the ALResult (check `.max_violation`)."""
+        from ilqr_admm_tpu.problem import ILQRConfig
+        from ilqr_admm_tpu.solvers.al_ilqr import al_ilqr_solve
+
+        f = self._forward_model
+        cost_fn = self._cost_fn()
+        get_Cs_fn = self._get_Cs_or_quad(get_Cs)
+        out = jax.jit(
+            lambda x0, u0: al_ilqr_solve(
+                f, get_AB, get_Cs_fn, cost_fn, x0, u0, ineq=ineq, eq=eq,
+                cfg=ILQRConfig(max_iter=max_iter, tol_fun=tol_fun),
+                n_al=n_al, mu0=mu0, mu_factor=mu_factor, tol_con=tol_con,
+            )
+        )(self.x_nom[0], self.u_nom)
+        self.x_nom, self.u_nom = out.x_nom, out.u_nom
+        self._cost = float(out.cost)
+        self.cost_log.append(self._cost)
+        self.AB = get_AB(self.x_nom, self.u_nom)
+        return out
+
     def solve_barrier(self, get_AB, barrier, get_Cs=None, max_iter=40,
                       tol_fun=1e-9, mu0=1.0, mu_factor=5.0, n_barrier=6):
         """Interior-point iLQR over stagewise cones (see

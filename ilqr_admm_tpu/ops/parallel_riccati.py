@@ -273,6 +273,19 @@ def value_elements(
     )
     U = 2.0 * R + 2.0 * zRr  # (N, m, m) control-cost Hessians
     s = 2.0 * jnp.einsum("tij,tj->ti", zRr, zur)  # linear control targets
+    return value_elements_general(A, B, X, eta_all, U, s, fast_inverse=fast_inverse)
+
+
+def value_elements_general(A, B, X, eta_all, U, s, fast_inverse: bool = False):
+    """Scan elements from a general stage-quadratic model (no cross terms):
+
+        cost_t = (1/2) x' X_t x - eta_t' x + (1/2) u' U_t u - s_t' u
+
+    (i.e. eta = -cx, s = -cu in the `get_Cs` Taylor convention). The
+    LQT entry point `value_elements` reduces to this with
+    eta = 2 Q xd + 2 Qr xr, s = 2 Rr ur."""
+    N, d = A.shape[0], A.shape[-1]
+    dtype = A.dtype
 
     # stage elements t = 0..N-2
     if fast_inverse:
@@ -373,3 +386,68 @@ def rollout_closed_loop_parallel(A, B, K, k, x0):
     xs = jnp.concatenate([x0[None], xs_tail], axis=0)
     us = jnp.einsum("tij,tj->ti", K, xs) + k
     return xs, us
+
+
+@highest_precision
+def ilqr_backward_parallel(
+    A: jax.Array,
+    B: jax.Array,
+    Cts: jax.Array,
+    cts: jax.Array,
+    block_size: Optional[int] = None,
+    fast_inverse: bool = False,
+):
+    """Time-parallel iLQR Riccati over a general quadratic cost model.
+
+    Same (Cts, cts) contract as `ops/riccati.py::ilqr_backward`, same
+    (K, k) output — but the backward recursion runs as an associative
+    scan (O(log N) depth; or the two-level blocked scan with
+    block_size=L), so the nonlinear solvers (iLQR, AL-iLQR, barrier
+    iLQR) get the long-horizon time-parallelism previously exclusive to
+    the LQT path. Nonzero Cux cross terms are removed by per-stage
+    completion of squares (v = u + Cuu^{-1} Cux x), which shifts the
+    dynamics (A <- A - B Cuu^{-1} Cux) and costs; the recovered feedback
+    is K = K_v - Cuu^{-1} Cux, k = k_v.
+
+    With AL/barrier outer loops this composes into parallel dynamic
+    programming for conic LQ control (PAPERS.md #4) — stagewise cones
+    via the smooth outer method, time-parallel DP inside.
+    """
+    if fast_inverse and A.shape[-1] > 4:
+        raise ValueError(
+            f"fast_inverse=True supports state dim <= 4 (got d={A.shape[-1]})"
+        )
+    N, d = A.shape[0], A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+
+    Cxx = Cts[:, :d, :d]
+    Cuu = Cts[:, d:, d:]
+    Cux = Cts[:, d:, :d]
+    cx = cts[:, :d]
+    cu = cts[:, d:]
+
+    # completion of squares: remove the cross term stage-by-stage. The
+    # final stage is left untouched: u_{N-1} is unused by convention and
+    # the terminal value function must stay (Cxx[-1], cx[-1]) raw
+    # (matches `ilqr_backward`'s V_term/v_term).
+    Kc = jnp.linalg.solve(Cuu, Cux).at[-1].set(0.0)  # (N, m, d)
+    A_t = A - B @ Kc
+    X = Cxx - jnp.swapaxes(Cux, -1, -2) @ Kc
+    X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    cx_t = cx - jnp.einsum("tji,tj->ti", Kc, cu)  # cx - Kc' cu
+
+    elems, U, s = value_elements_general(
+        A_t, B, X, -cx_t, Cuu, -cu, fast_inverse=fast_inverse
+    )
+    comb = functools.partial(_combine, fast_inverse=fast_inverse)
+    if block_size is None:
+        comb_v = jax.vmap(comb)
+        scanned = lax.associative_scan(lambda a, b: comb_v(b, a), elems, reverse=True)
+    else:
+        scanned = _blocked_suffix_scan(
+            comb, lambda p: _identity_elems(p, d, dtype), elems, N, block_size
+        )
+    gains = gains_from_scanned(A_t, B, U, s, scanned, fast_inverse=fast_inverse)
+    # map v-gains back to u-gains (Kc[-1] is already zero)
+    return gains.K - Kc, gains.k

@@ -72,6 +72,8 @@ def al_ilqr_solve(
     mu_max: float = 1e8,
     tol_con: float = 1e-6,
     method: str = "dp",
+    riccati: str = "chol",
+    gauss_newton: bool = True,
 ) -> ALResult:
     """Solve min cost s.t. stagewise ineq(x,u[,t]) <= 0, eq(x,u[,t]) = 0.
 
@@ -81,7 +83,9 @@ def al_ilqr_solve(
     (terminal pins via `where(t == N-1, ...)`, moving obstacles). The
     penalty parameter grows geometrically each outer stage unless the
     max violation already dropped below tol_con (then multipliers alone
-    polish the solution).
+    polish the solution). gauss_newton=True (default) uses the PSD
+    Gauss-Newton penalty curvature mu J' D J — required for nonconvex
+    constraints (keep-out sets); False uses the exact Hessian.
     """
     if ineq is None and eq is None:
         raise ValueError("al_ilqr_solve needs at least one of ineq=/eq=")
@@ -137,23 +141,49 @@ def al_ilqr_solve(
             cts, Cts = get_Cs(xs, us)
             d = xs.shape[-1]
 
-            def per_stage(z, lg, lh, t):
-                x, u = z[:d], z[d:]
-                g = None if ineq is None else ineq(x, u, t)
-                h = None if eq is None else eq(x, u, t)
-                return _al_penalty(g, lg, h, lh, mu)
-
             zs = jnp.concatenate([xs, us], axis=-1)
             lg = jnp.zeros((N, 0), dtype) if lam_g is None else lam_g
             lh = jnp.zeros((N, 0), dtype) if lam_h is None else lam_h
 
-            def ps(z, a, b, t):
-                return per_stage(
-                    z, None if ineq is None else a, None if eq is None else b, t
-                )
+            if not gauss_newton:
+                def ps(z, a, b, t):
+                    x, u = z[:d], z[d:]
+                    g = None if ineq is None else ineq(x, u, t)
+                    h = None if eq is None else eq(x, u, t)
+                    return _al_penalty(
+                        g, None if ineq is None else a,
+                        h, None if eq is None else b, mu,
+                    )
 
-            grads = jax.vmap(jax.grad(ps))(zs, lg, lh, ts)
-            hesss = jax.vmap(jax.hessian(ps))(zs, lg, lh, ts)
+                grads = jax.vmap(jax.grad(ps))(zs, lg, lh, ts)
+                hesss = jax.vmap(jax.hessian(ps))(zs, lg, lh, ts)
+                return cts + grads, Cts + hesss
+
+            # Gauss-Newton penalty curvature (ALTRO practice): keep the
+            # exact gradient J' a but drop the a_i * grad^2 c_i constraint-
+            # curvature term — the result mu J' D J is PSD, which keeps the
+            # Riccati pass well-posed on nonconvex constraints (keep-out
+            # regions) where the exact Hessian is indefinite and stalls the
+            # line search.
+            def gn_one(z, a_lam, b_lam, t):
+                grad = jnp.zeros_like(z)
+                hess = jnp.zeros((z.shape[0], z.shape[0]), dtype)
+                if ineq is not None:
+                    cg = lambda zz: ineq(zz[:d], zz[d:], t)
+                    g = cg(z)
+                    Jg = jax.jacfwd(cg)(z)
+                    a = jnp.maximum(0.0, a_lam + mu * g)
+                    grad = grad + Jg.T @ a
+                    hess = hess + mu * (Jg.T * (a > 0.0)) @ Jg
+                if eq is not None:
+                    ch = lambda zz: eq(zz[:d], zz[d:], t)
+                    h = ch(z)
+                    Jh = jax.jacfwd(ch)(z)
+                    grad = grad + Jh.T @ (b_lam + mu * h)
+                    hess = hess + mu * Jh.T @ Jh
+                return grad, hess
+
+            grads, hesss = jax.vmap(gn_one)(zs, lg, lh, ts)
             return cts + grads, Cts + hesss
 
         return aug
@@ -168,7 +198,8 @@ def al_ilqr_solve(
             iteration=jnp.int32(0), status=jnp.int32(SolveStatus.RUNNING),
         )
         out = ilqr_solve(
-            f, get_AB, aug_Cs(lam_g, lam_h, mu), ac, st, cfg=cfg, method=method
+            f, get_AB, aug_Cs(lam_g, lam_h, mu), ac, st,
+            cfg=cfg, method=method, riccati=riccati,
         )
         g, h = stage_res(out.x_nom, out.u_nom)
         new_lam_g = None if lam_g is None else jnp.maximum(0.0, lam_g + mu * g)

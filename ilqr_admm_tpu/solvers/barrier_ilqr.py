@@ -97,6 +97,7 @@ def barrier_ilqr_solve(
     mu_factor: float = 5.0,
     n_barrier: int = 6,
     method: str = "dp",
+    riccati: str = "chol",
 ):
     """Solve min cost s.t. stagewise cones, via a log-barrier homotopy.
 
@@ -127,7 +128,7 @@ def barrier_ilqr_solve(
         )
         out = ilqr_solve(
             f, get_AB, _augment_Cs(get_Cs, barrier, mu), aug_cost, st,
-            cfg=cfg, method=method,
+            cfg=cfg, method=method, riccati=riccati,
         )
         return (out.x_nom, out.u_nom), out.status
 

@@ -91,6 +91,9 @@ def ilqr_iterate_dp(
     riccati='sqrt' uses the array-form square-root backward pass
     (`ops/sqrt_riccati.py`) — f32-stable at stiff weight ratios; nonzero
     Cux cross terms are handled by per-step completion of squares.
+    riccati='parallel' uses the associative-scan time-parallel pass
+    (`ops/parallel_riccati.py::ilqr_backward_parallel`) — O(log N)
+    depth for long horizons.
     Returns (new_state, accept, (K, k)).
     """
     A, B = get_AB(state.x_nom, state.u_nom)
@@ -99,6 +102,10 @@ def ilqr_iterate_dp(
         from ilqr_admm_tpu.ops.sqrt_riccati import ilqr_backward_sqrt
 
         K, k = ilqr_backward_sqrt(A, B, Cts, cts)
+    elif riccati == "parallel":
+        from ilqr_admm_tpu.ops.parallel_riccati import ilqr_backward_parallel
+
+        K, k = ilqr_backward_parallel(A, B, Cts, cts)
     else:
         K, k = ilqr_backward(A, B, Cts, cts)
 

@@ -151,3 +151,54 @@ def test_jits_and_vmaps():
     x0s = jnp.asarray(np.random.default_rng(0).normal(0, 0.1, size=(3, plant.x_dim)))
     costs = jax.jit(jax.vmap(solve_one))(x0s)
     assert costs.shape == (3,) and bool(jnp.all(jnp.isfinite(costs)))
+
+
+def test_facade_solve_al():
+    from ilqr_admm_tpu import iSLS
+
+    plant, cost = _lq_setup(nb_deriv=2, m=1, N=40)
+    N = 40
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+    s = iSLS(x_dim=plant.x_dim, u_dim=plant.u_dim, N=N)
+    s.forward_model = plant.step
+    s.cost_function = cost
+    s.nominal_values = s.get_trajectory_batch(jnp.zeros(plant.x_dim), jnp.zeros((N, 1)))
+    out = s.solve_al(
+        plant.get_AB,
+        ineq=lambda x, u: jnp.asarray([u[0] - 2.0, -u[0] - 2.0]),
+        get_Cs=get_Cs, n_al=10, tol_con=1e-8,
+    )
+    assert float(out.max_violation) < 1e-6
+    assert s.cost_log and s.cost_log[-1] == float(out.cost)
+
+
+def test_nonconvex_keepout_gauss_newton():
+    # circular keep-out region: needs the PSD Gauss-Newton penalty
+    # curvature (exact Hessian is indefinite there and stalls)
+    plant = DoubleIntegrator(2, 2, dt=1.0 / 60)
+    plant.get_AB = lambda xs, us: plant.AB(xs.shape[0])
+    N, d = 60, plant.x_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 1.0, 0.0, 0.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, plant.u_dim)
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+    center = jnp.asarray([0.45, 0.52])
+    r = 0.2
+
+    def keep_out(x, u):
+        del u
+        return jnp.asarray([r - jnp.linalg.norm(x[:2] - center)])
+
+    res = al_ilqr_solve(
+        plant.step, plant.get_AB, get_Cs, cost,
+        jnp.zeros(d), jnp.zeros((N, plant.u_dim)), ineq=keep_out,
+        cfg=ILQRConfig(max_iter=40, tol_fun=1e-12),
+        n_al=12, mu0=10.0, mu_factor=5.0, tol_con=1e-8,
+    )
+    assert float(res.max_violation) < 1e-7
+    # goal still reached, and the keep-out binds (path grazes the circle)
+    assert abs(float(res.x_nom[-1, 0]) - 1.0) < 0.05
+    dmin = float(jnp.min(jnp.linalg.norm(res.x_nom[:, :2] - center, axis=-1)))
+    assert dmin < r + 0.02  # grazing, not a wide detour

@@ -164,3 +164,59 @@ def test_fast_inverse_rejects_large_state(rng):
     # LU path still fine at d=6
     g = lqt_backward_parallel(A, B, Q, xd, R)
     assert np.all(np.isfinite(np.asarray(g.K)))
+
+
+class TestILQRBackwardParallel:
+    """`ilqr_backward_parallel`: general quadratic model + cross terms."""
+
+    def _rand_problem(self, rng, N=37, d=3, m=2, cross=True):
+        A = jnp.asarray(np.eye(d) + 0.05 * rng.normal(size=(N, d, d)))
+        B = jnp.asarray(0.1 * rng.normal(size=(N, d, m)))
+        Cts = np.zeros((N, d + m, d + m))
+        for t in range(N):
+            Mx = rng.normal(size=(d, d))
+            Cts[t, :d, :d] = Mx @ Mx.T * 0.1
+            Mu = rng.normal(size=(m, m))
+            Cts[t, d:, d:] = Mu @ Mu.T + 2 * np.eye(m)
+            if cross:
+                Cts[t, d:, :d] = 0.3 * rng.normal(size=(m, d))
+                Cts[t, :d, d:] = Cts[t, d:, :d].T
+        cts = jnp.asarray(rng.normal(size=(N, d + m)))
+        return A, B, jnp.asarray(Cts), cts
+
+    def test_matches_sequential_with_cross_terms(self, rng):
+        from ilqr_admm_tpu.ops.parallel_riccati import ilqr_backward_parallel
+        from ilqr_admm_tpu.ops.riccati import ilqr_backward
+
+        A, B, Cts, cts = self._rand_problem(rng)
+        K1, k1 = ilqr_backward(A, B, Cts, cts)
+        for bs in (None, 8):
+            K2, k2 = ilqr_backward_parallel(A, B, Cts, cts, block_size=bs)
+            np.testing.assert_allclose(np.asarray(K2), np.asarray(K1), atol=1e-10)
+            np.testing.assert_allclose(np.asarray(k2), np.asarray(k1), atol=1e-10)
+        K3, k3 = ilqr_backward_parallel(A, B, Cts, cts, fast_inverse=True)
+        np.testing.assert_allclose(np.asarray(K3), np.asarray(K1), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(k3), np.asarray(k1), atol=1e-8)
+
+    def test_ilqr_solve_riccati_parallel(self):
+        # whole-solver agreement on the car parking problem
+        from ilqr_admm_tpu.models.car import CarFrontWheel, CarParkingCost
+        from ilqr_admm_tpu.problem import ILQRConfig
+        from ilqr_admm_tpu.solvers.ilqr import ilqr_init, ilqr_solve
+
+        N = 100
+        car = CarFrontWheel(dt=15.0 / N)
+        cost = CarParkingCost()
+        rng = np.random.default_rng(1)
+        u0 = jnp.asarray(rng.normal(size=(N, 2)) * 0.1)
+        x0 = jnp.asarray([1.0, 1.0, 3.0 * np.pi / 2, 0.0])
+        st0 = ilqr_init(car.step, cost, x0, u0)
+        cfg = ILQRConfig(max_iter=30, tol_fun=1e-9)
+        out_seq = ilqr_solve(car.step, car.get_AB, cost.get_Cs, cost, st0, cfg=cfg)
+        out_par = ilqr_solve(
+            car.step, car.get_AB, cost.get_Cs, cost, st0, cfg=cfg,
+            riccati="parallel",
+        )
+        assert abs(float(out_par.cost) - float(out_seq.cost)) < 1e-6 * max(
+            1.0, abs(float(out_seq.cost))
+        )
