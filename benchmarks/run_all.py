@@ -181,6 +181,23 @@ def main():
     timed("ilqr_admm car control bounds (N=500)", 17400.0, car_admm,
           oracle=lambda c: f"cost={float(c):.3f} (ref 1.903)", reps=2)
 
+    # ---- 7b. boxDDP on the same control-limited car (first-class DP
+    # treatment the reference lacks; same 17.4 s ADMM reference time)
+    from ilqr_admm_tpu.problem import ILQRConfig
+    from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
+
+    car_box = jax.jit(
+        lambda: boxddp_solve(
+            car.step, car.get_AB, ccost.get_Cs, ccost,
+            boxddp_init(car.step, ccost, x0c, u0, lo, hi),
+            u_lower=lo, u_upper=hi,
+            cfg=ILQRConfig(max_iter=60, tol_fun=1e-6),
+        ).cost
+    )
+    timed("boxDDP car control bounds (N=500)", 17400.0, car_box,
+          oracle=lambda c: f"cost={float(c):.3f} (ref ADMM 1.903), exact bounds",
+          reps=2)
+
     # ---- 8. iLQR 3DoF arm (ref 100-131 ms)
     Na = 100
     arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / Na)

@@ -431,15 +431,32 @@ def ilqr_backward_parallel(
     # final stage is left untouched: u_{N-1} is unused by convention and
     # the terminal value function must stay (Cxx[-1], cx[-1]) raw
     # (matches `ilqr_backward`'s V_term/v_term).
-    Kc = jnp.linalg.solve(Cuu, Cux).at[-1].set(0.0)  # (N, m, d)
-    A_t = A - B @ Kc
-    X = Cxx - jnp.swapaxes(Cux, -1, -2) @ Kc
+    #
+    # All prelude matmuls are broadcast-multiply-sums, NOT dot_general:
+    # this function traces under default_matmul_precision('highest'),
+    # and XLA lowers inner-dim-2 batched HIGHEST matmuls catastrophically
+    # here (measured 507 ms vs 7 ms for the whole N=5000 backward pass).
+    # The expanded form runs exact f32 on the VPU — faster AND more
+    # accurate than multi-pass bf16.
+    def bmm(a, b):  # (N, i, k) @ (N, k, j) with tiny k
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+    if m <= 4:
+        Kc = bmm(inv_small(Cuu), Cux).at[-1].set(0.0)  # (N, m, d)
+    else:
+        Kc = jnp.linalg.solve(Cuu, Cux).at[-1].set(0.0)
+    A_t = A - bmm(B, Kc)
+    X = Cxx - bmm(jnp.swapaxes(Cux, -1, -2), Kc)
     X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
     cx_t = cx - jnp.einsum("tji,tj->ti", Kc, cu)  # cx - Kc' cu
 
     elems, U, s = value_elements_general(
         A_t, B, X, -cx_t, Cuu, -cu, fast_inverse=fast_inverse
     )
+    # materialize the scan elements: without this barrier XLA fuses the
+    # completion-of-squares prelude INTO the scan body and recomputes it
+    # per step — measured 507 ms vs 6.5 ms at N=5000 (d=4 car) on TPU
+    elems = lax.optimization_barrier(elems)
     comb = functools.partial(_combine, fast_inverse=fast_inverse)
     if block_size is None:
         comb_v = jax.vmap(comb)
