@@ -95,6 +95,18 @@ def inv_small(M):
     return adj / det[..., None, None] / s
 
 
+def _bmm(a, b):
+    """Batched tiny matmul as a broadcast-multiply-sum (VPU, exact f32).
+
+    For trailing dims <= 4 this beats `dot_general` twice over when the
+    surrounding program traces under default_matmul_precision('highest'):
+    XLA lowers tiny batched HIGHEST matmuls pathologically (measured
+    507 ms vs 7 ms for a whole N=5000 backward pass), and the expanded
+    form is single-pass exact f32 instead of multi-pass bf16.
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
 def _combine(e1, e2, fast_inverse: bool = False):
     """Associative composition of conditional-value-function elements.
 
@@ -105,23 +117,24 @@ def _combine(e1, e2, fast_inverse: bool = False):
     A2, b2, C2, eta2, J2 = e2
     d = A1.shape[-1]
     I = jnp.eye(d, dtype=A1.dtype)
+    mm = _bmm if d <= 4 else (lambda a, b: a @ b)
 
     # M = (I + C1 J2)^{-1}; LU solve by default, closed-form adjugate
     # (`inv_small`) when fast_inverse — 3.4x faster combines, adjugate
     # accuracy envelope (see inv_small docstring).
     if fast_inverse:
-        M = inv_small(I + C1 @ J2)
+        M = inv_small(I + mm(C1, J2))
     else:
-        M = jnp.linalg.solve(I + C1 @ J2, I)
-    A2M = A2 @ M
+        M = jnp.linalg.solve(I + mm(C1, J2), I)
+    A2M = mm(A2, M)
     MT = jnp.swapaxes(M, -1, -2)
     A1T = jnp.swapaxes(A1, -1, -2)
 
-    A = A2M @ A1
-    b = (A2M @ (b1[..., None] + C1 @ eta2[..., None]))[..., 0] + b2
-    C = A2M @ C1 @ jnp.swapaxes(A2, -1, -2) + C2
-    eta = (A1T @ MT @ (eta2[..., None] - J2 @ b1[..., None]))[..., 0] + eta1
-    J = A1T @ MT @ J2 @ A1 + J1
+    A = mm(A2M, A1)
+    b = mm(A2M, b1[..., None] + mm(C1, eta2[..., None]))[..., 0] + b2
+    C = mm(mm(A2M, C1), jnp.swapaxes(A2, -1, -2)) + C2
+    eta = mm(A1T, mm(MT, eta2[..., None] - mm(J2, b1[..., None])))[..., 0] + eta1
+    J = mm(A1T, mm(MT, mm(J2, A1))) + J1
     return (A, b, C, eta, J)
 
 
