@@ -54,6 +54,46 @@ def batched_ilqr_solve(
     return jax.vmap(one)(x0s, u0s)
 
 
+def batched_boxddp_solve(
+    f: Callable, get_AB: Callable, get_Cs: Callable, cost_fn: Callable,
+    x0s, u0s, u_lower, u_upper, cfg: ILQRConfig = ILQRConfig(),
+):
+    """Batch of control-limited boxDDP solves (multi-start fleets).
+
+    x0s: (batch, d); u0s: (batch, N, m). Returns a batched ILQRState;
+    every instance's controls satisfy the box exactly.
+    """
+    from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
+
+    def one(x0, u0):
+        st0 = boxddp_init(f, cost_fn, x0, u0, u_lower, u_upper)
+        return boxddp_solve(
+            f, get_AB, get_Cs, cost_fn, st0, u_lower, u_upper, cfg=cfg
+        )
+
+    return jax.vmap(one)(x0s, u0s)
+
+
+def batched_al_solve(
+    f: Callable, get_AB: Callable, get_Cs: Callable, cost_fn: Callable,
+    x0s, u0s, ineq=None, eq=None, cfg: ILQRConfig = ILQRConfig(max_iter=30),
+    **al_kwargs,
+):
+    """Batch of AL-iLQR solves over general stagewise constraints.
+
+    Returns a batched ALResult (check `.max_violation` per instance).
+    """
+    from ilqr_admm_tpu.solvers.al_ilqr import al_ilqr_solve
+
+    def one(x0, u0):
+        return al_ilqr_solve(
+            f, get_AB, get_Cs, cost_fn, x0, u0, ineq=ineq, eq=eq,
+            cfg=cfg, **al_kwargs,
+        )
+
+    return jax.vmap(one)(x0s, u0s)
+
+
 def sharded_instance_solve(
     solve_batch_fn: Callable, mesh: Mesh, *batched_args, axis: str = "data"
 ):

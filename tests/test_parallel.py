@@ -102,3 +102,70 @@ def test_mc_success_rate_psum():
     rate = mc_success_rate(success, mesh, vals)
     rate_host = float(np.mean(np.abs(np.asarray(vals)).max(-1) < 1.5))
     assert abs(float(rate) - rate_host) < 1e-6
+
+
+def test_boxddp_fleet_sharded():
+    """boxDDP fleet sharded over the 8-device mesh == unsharded."""
+    from ilqr_admm_tpu.parallel.batch import batched_boxddp_solve
+    from ilqr_admm_tpu.parallel.batch import sharded_instance_solve
+    from ilqr_admm_tpu.parallel.mesh import make_mesh
+    from ilqr_admm_tpu.ops.riccati import quad_cost_model
+    from ilqr_admm_tpu.problem import ILQRConfig
+
+    plant, A, B, cost = _problem()
+    d, m = plant.x_dim, plant.u_dim
+    N = cost.N
+    mesh = make_mesh()
+    get_AB = lambda xs, us: (A, B)
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+    f = lambda x, u: plant.A @ x + plant.B @ u
+
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(0, 0.1, size=(16, d)))
+    u0s = jnp.zeros((16, N, m))
+    cfg = ILQRConfig(max_iter=15)
+
+    def solve_batch(x0s_, u0s_):
+        st = batched_boxddp_solve(
+            f, get_AB, get_Cs, cost, x0s_, u0s_, -5.0, 5.0, cfg=cfg
+        )
+        return st.cost, st.u_nom
+
+    c_ref, u_ref = solve_batch(x0s, u0s)
+    c_sh, u_sh = sharded_instance_solve(solve_batch, mesh, x0s, u0s)
+    np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_ref), atol=1e-10)
+    assert float(jnp.max(jnp.abs(u_sh))) <= 5.0 + 1e-12
+
+
+def test_al_fleet_sharded():
+    """AL-iLQR fleet sharded over the mesh == unsharded, all feasible."""
+    from ilqr_admm_tpu.parallel.batch import batched_al_solve
+    from ilqr_admm_tpu.parallel.batch import sharded_instance_solve
+    from ilqr_admm_tpu.parallel.mesh import make_mesh
+    from ilqr_admm_tpu.ops.riccati import quad_cost_model
+    from ilqr_admm_tpu.problem import ILQRConfig
+
+    plant, A, B, cost = _problem()
+    d, m = plant.x_dim, plant.u_dim
+    N = cost.N
+    mesh = make_mesh()
+    get_AB = lambda xs, us: (A, B)
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+    f = lambda x, u: plant.A @ x + plant.B @ u
+
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.normal(0, 0.1, size=(16, d)))
+    u0s = jnp.zeros((16, N, m))
+
+    def solve_batch(x0s_, u0s_):
+        res = batched_al_solve(
+            f, get_AB, get_Cs, cost, x0s_, u0s_,
+            ineq=lambda x, u: jnp.concatenate([u - 5.0, -u - 5.0]),
+            cfg=ILQRConfig(max_iter=30), n_al=10, tol_con=1e-8,
+        )
+        return res.cost, res.max_violation
+
+    c_ref, v_ref = solve_batch(x0s, u0s)
+    c_sh, v_sh = sharded_instance_solve(solve_batch, mesh, x0s, u0s)
+    np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_ref), atol=1e-10)
+    assert float(jnp.max(v_sh)) < 1e-6
