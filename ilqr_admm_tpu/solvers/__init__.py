@@ -33,6 +33,7 @@ from ilqr_admm_tpu.solvers.mpc import (
     MPCConstrainedState,
     MPCState,
     make_mpc_step,
+    make_mpc_step_boxddp,
     make_mpc_step_constrained,
     mpc_constrained_init,
     mpc_init,
@@ -69,6 +70,7 @@ __all__ = [
     "make_batched_sls_admm",
     "MPCState",
     "make_mpc_step",
+    "make_mpc_step_boxddp",
     "mpc_init",
     "run_mpc",
     "MPCConstrainedState",

@@ -181,6 +181,64 @@ def make_mpc_step_constrained(
     return jax.jit(step)
 
 
+def make_mpc_step_boxddp(
+    f: Callable,
+    get_AB: Callable,
+    cost_fn: Callable,
+    get_Cs: Callable,
+    u_lower,
+    u_upper,
+    n_iters: int = 3,
+    n_line_search: int = 10,
+    qp_iters: int = 8,
+):
+    """Build a jitted control-limited MPC step using bounded-iteration
+    boxDDP (first-class DP alternative to `make_mpc_step_constrained`
+    for the common box-on-u case): no penalty parameters, no duals to
+    carry, and the applied control satisfies the box EXACTLY by
+    construction (clipped rollouts). Each tick: shift the nominal one
+    step, run `n_iters` boxDDP iterations from the measured state,
+    apply the first control.
+
+    Returns step: (MPCState, x_measured) -> (u_apply, state').
+    """
+    from ilqr_admm_tpu.ops.constrained_riccati import (
+        rollout_closed_loop_clipped,
+    )
+    from ilqr_admm_tpu.solvers.boxddp import boxddp_iterate
+
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    alphas = 10.0 ** jnp.linspace(0.0, -3.0, n_line_search)
+
+    def step(state: MPCState, x_measured):
+        from ilqr_admm_tpu.problem import SolveStatus
+        from ilqr_admm_tpu.solvers.ilqr import ILQRState
+
+        u_shift = jnp.clip(
+            jnp.concatenate([state.u_nom[1:], state.u_nom[-1:]], axis=0),
+            u_lower, u_upper,
+        )
+        xs = rollout_nonlinear(f, x_measured, u_shift)
+        st = ILQRState(
+            x_nom=xs, u_nom=u_shift, cost=cost_fn(xs, u_shift),
+            prev_cost=jnp.asarray(jnp.inf, xs.dtype),
+            iteration=jnp.int32(0), status=jnp.int32(SolveStatus.RUNNING),
+        )
+
+        def body(_, s):
+            s2, _accept, _ = boxddp_iterate(
+                f, get_AB, get_Cs, cost_fn, s,
+                alphas.astype(xs.dtype), u_lower, u_upper, qp_iters=qp_iters,
+            )
+            return s2
+
+        out = jax.lax.fori_loop(0, n_iters, body, st)
+        return out.u_nom[0], MPCState(x_nom=out.x_nom, u_nom=out.u_nom)
+
+    return jax.jit(step)
+
+
 def run_mpc(
     f_plant: Callable,
     mpc_step: Callable,

@@ -112,3 +112,38 @@ def test_constrained_mpc_respects_control_bounds():
     assert np.linalg.norm(final[:2] - np.array([1.0, 1.0])) < 0.25, final
     # duals are carried across ticks (not reset to the first tick's)
     assert not np.allclose(np.asarray(state.z_u), z_u_first)
+
+
+def test_boxddp_mpc_tracks_and_respects_bounds():
+    """boxDDP-tick MPC: closed loop converges to target, controls exactly
+    in the box at every tick, and tracks comparably to the ADMM tick."""
+    from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+    from ilqr_admm_tpu.solvers.mpc import make_mpc_step_boxddp
+
+    N, H = 50, 200
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d, m = plant.x_dim, plant.u_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, m)
+    A, B = plant.AB(N)
+    get_AB = lambda xs, us: (A, B)
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+    f = lambda x, u: plant.A @ x + plant.B @ u
+
+    step = make_mpc_step_boxddp(
+        f, get_AB, cost, get_Cs, u_lower=-3.0, u_upper=3.0, n_iters=3,
+    )
+    x0 = jnp.zeros(d)
+    st = mpc_init(f, x0, jnp.zeros((N, m)))
+    xs, us, _ = run_mpc(f, step, st, x0, H)
+    us = np.asarray(us)
+    assert np.abs(us).max() <= 3.0 + 1e-12  # exact feasibility every tick
+    # closed loop reaches the target position
+    assert abs(float(xs[-1, 0]) - 1.0) < 0.05, float(xs[-1, 0])
+    # and stays there (no limit cycle)
+    assert np.abs(np.asarray(xs[-20:, 0]) - 1.0).max() < 0.08
+    # the bound binds early in the transient (the task needs it)
+    assert np.abs(us).max() > 2.99
