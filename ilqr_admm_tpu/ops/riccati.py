@@ -171,6 +171,7 @@ def ilqr_backward(
     Cts: jax.Array,
     cts: jax.Array,
     reg: float | jax.Array = 0.0,
+    fzz: jax.Array | None = None,
 ):
     """General iLQR Riccati backward pass over a quadratic cost model.
 
@@ -178,6 +179,14 @@ def ilqr_backward(
     cts: (N, x+u) gradients — the `get_Cs` Taylor-expansion interface of
     the reference (`isls.py:229-308`). `reg` adds Levenberg-style
     regularization to Quu. Returns (K, k) with zero final-step gains.
+
+    fzz: optional (N, d, d+m, d+m) stage dynamics Hessians — FULL DDP
+    (Tassa et al. 2012), beyond the reference's Gauss-Newton iLQR
+    (`isls.py:229-308` drops these terms): the stage quadratic model
+    gains sum_i v'_i (f_i)_zz with v' the next-stage value gradient,
+    contracted inside the scan step (the gradient is only known there).
+    Hessians are symmetric per output row, so the Cux block comes from
+    the lower-left of the contraction.
     """
     d = A.shape[-1]
     m = B.shape[-1]
@@ -188,7 +197,14 @@ def ilqr_backward(
 
     def step(carry, inp):
         V, v = carry
-        At, Bt, Ct, ct = inp
+        if fzz is None:
+            At, Bt, Ct, ct = inp
+            T = None
+        else:
+            At, Bt, Ct, ct, ft = inp
+            # DDP term: contract next-stage value gradient with the
+            # dynamics Hessian (one small einsum on the VPU per step).
+            T = jnp.einsum("i,ijk->jk", v, ft)
         Cxx = Ct[:d, :d]
         Cuu = Ct[d:, d:]
         Cux = Ct[d:, :d]
@@ -200,6 +216,10 @@ def ilqr_backward(
         Qxx = Cxx + At.T @ V @ At
         Qux = Cux + Bt.T @ V @ At
         Quu = Cuu + Bt.T @ V @ Bt + reg * jnp.eye(m, dtype=dtype)
+        if T is not None:
+            Qxx = Qxx + T[:d, :d]
+            Qux = Qux + T[d:, :d]
+            Quu = Quu + T[d:, d:]
 
         cf = cho_factor(_sym(Quu))
         sol = -cho_solve(cf, jnp.concatenate([Qux, qu[:, None]], axis=-1))
@@ -210,7 +230,10 @@ def ilqr_backward(
         v_new = qx + Kt.T @ qu + Kt.T @ Quu @ kt + Qux.T @ kt
         return (V_new, v_new), (Kt, kt)
 
-    xs = (A[:-1], B[:-1], Cts[:-1], cts[:-1])
+    if fzz is None:
+        xs = (A[:-1], B[:-1], Cts[:-1], cts[:-1])
+    else:
+        xs = (A[:-1], B[:-1], Cts[:-1], cts[:-1], fzz[:-1])
     _, (K, k) = lax.scan(step, (V_term, v_term), xs, reverse=True)
     K = jnp.concatenate([K, jnp.zeros((1, m, d), dtype)], axis=0)
     k = jnp.concatenate([k, jnp.zeros((1, m), dtype)], axis=0)
