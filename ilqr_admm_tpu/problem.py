@@ -178,6 +178,17 @@ class ADMMConfig:
     rho_freeze_after: int = 100
     rho_scale_min: float = 1e-3
     rho_scale_max: float = 1e3
+    # Nesterov-accelerated ADMM with adaptive restart (Goldstein,
+    # O'Donoghue, Setzer & Baraniuk 2014, "Fast ADMM", Alg. 8):
+    # momentum on (z, lambda), monitored by the combined residual
+    # c_k = ||lambda_k - lambda_hat||^2 + ||z_k - z_hat||^2; a restart
+    # (revert momentum, reset step to 1) whenever c_k fails to decay by
+    # accel_eta keeps the method safe for general convex problems. Not
+    # in the reference (plain ADMM throughout) — cuts iterations-to-
+    # tolerance on the strongly convex LQT subproblems. Mutually
+    # exclusive with adaptive_rho (momentum assumes a fixed penalty).
+    accel: bool = False
+    accel_eta: float = 0.999
 
     @property
     def stall(self) -> float:

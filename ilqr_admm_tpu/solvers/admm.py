@@ -129,6 +129,13 @@ def admm_solve(
     adaptive = cfg.adaptive_rho
     if adaptive and cfg.rho_freq < 1:
         raise ValueError(f"rho_freq must be >= 1, got {cfg.rho_freq}")
+    accel = cfg.accel
+    if accel and adaptive:
+        raise ValueError(
+            "accel=True is incompatible with adaptive_rho=True: the "
+            "momentum sequence assumes a fixed penalty (each rho change "
+            "would invalidate the accumulated extrapolation)"
+        )
 
     z_x = jnp.zeros(shape_x, dtype) if z_x_init is None else jnp.asarray(z_x_init)
     z_u = jnp.zeros(shape_u, dtype) if z_u_init is None else jnp.asarray(z_u_init)
@@ -167,7 +174,17 @@ def admm_solve(
         return jnp.logical_and(j < cfg.max_iter, status == SolveStatus.RUNNING)
 
     def body(state):
-        j, z_x, z_u, lmb_x, lmb_u, _, prim, dual, logs, s, status = state
+        # In accelerated mode the z/lmb carry slots hold the extrapolated
+        # (hat) iterates used by the x-update; acc carries the last
+        # accepted (z, lmb), the momentum coefficient a, and the combined
+        # restart residual c (Goldstein et al. 2014, Alg. 8).
+        if accel:
+            (j, z_x, z_u, lmb_x, lmb_u, _, prim, dual, logs, s, acc,
+             status) = state
+            (z_x_prev, z_u_prev, lmb_x_prev, lmb_u_prev, a_mom, c_prev,
+             ok_prev) = acc
+        else:
+            j, z_x, z_u, lmb_x, lmb_u, _, prim, dual, logs, s, status = state
 
         reg_x = z_x - lmb_x if has_x else None
         reg_u = z_u - lmb_u if has_u else None
@@ -177,27 +194,63 @@ def admm_solve(
         prim_new = jnp.asarray(0.0, dtype)
         dual_new = jnp.asarray(0.0, dtype)
         dual_bal = jnp.asarray(0.0, dtype)
+        c_new = jnp.asarray(0.0, dtype)
 
         if has_x:
             z_relaxed = cfg.alpha * x_x + (1.0 - cfg.alpha) * z_x
             z_x_new = project_x(z_relaxed + lmb_x)
             r_x = x_x - z_x_new
-            lmb_x = lmb_x + r_x
+            lmb_x_new = lmb_x + r_x
             prim_new = prim_new + _norm(wx(r_x))
-            dual_new = dual_new + _norm(wx(z_x_new - z_x))
+            # dual residual against the last *accepted* z in accel mode
+            z_x_ref = z_x_prev if accel else z_x
+            dual_new = dual_new + _norm(wx(z_x_new - z_x_ref))
             if adaptive:
                 dual_bal = dual_bal + _norm(rwx(z_x_new - z_x))
+            if accel:
+                c_new = c_new + jnp.sum((lmb_x_new - lmb_x) ** 2)
+                c_new = c_new + jnp.sum((z_x_new - z_x) ** 2)
+            lmb_x = lmb_x_new
             z_x = z_x_new
         if has_u:
             z_relaxed = cfg.alpha * x_u + (1.0 - cfg.alpha) * z_u
             z_u_new = project_u(z_relaxed + lmb_u)
             r_u = x_u - z_u_new
-            lmb_u = lmb_u + r_u
+            lmb_u_new = lmb_u + r_u
             prim_new = prim_new + _norm(wu(r_u))
-            dual_new = dual_new + _norm(wu(z_u_new - z_u))
+            z_u_ref = z_u_prev if accel else z_u
+            dual_new = dual_new + _norm(wu(z_u_new - z_u_ref))
             if adaptive:
                 dual_bal = dual_bal + _norm(rwu(z_u_new - z_u))
+            if accel:
+                c_new = c_new + jnp.sum((lmb_u_new - lmb_u) ** 2)
+                c_new = c_new + jnp.sum((z_u_new - z_u) ** 2)
+            lmb_u = lmb_u_new
             z_u = z_u_new
+
+        if accel:
+            # accept: extrapolate; reject: revert to last accepted pair,
+            # reset momentum, inflate the monitor by 1/eta.
+            ok = c_new < cfg.accel_eta * c_prev
+            a_next = jnp.where(
+                ok, 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * a_mom * a_mom)), one
+            )
+            beta = jnp.where(ok, (a_mom - 1.0) / a_next, jnp.asarray(0.0, dtype))
+
+            def _mix(z_new, z_prev):
+                hat = z_new + beta * (z_new - z_prev)
+                return (
+                    jnp.where(ok, hat, z_prev),
+                    jnp.where(ok, z_new, z_prev),
+                )
+
+            z_x, z_x_prev = _mix(z_x, z_x_prev)
+            z_u, z_u_prev = _mix(z_u, z_u_prev)
+            lmb_x, lmb_x_prev = _mix(lmb_x, lmb_x_prev)
+            lmb_u, lmb_u_prev = _mix(lmb_u, lmb_u_prev)
+            c_next = jnp.where(ok, c_new, c_prev / cfg.accel_eta)
+            acc = (z_x_prev, z_u_prev, lmb_x_prev, lmb_u_prev, a_next,
+                   c_next, ok)
 
         logs = logs.at[j].set(jnp.stack([prim_new, dual_new]))
 
@@ -205,6 +258,12 @@ def admm_solve(
         prim_change = jnp.abs(prim - prim_new) / (prim + _EPS)
         dual_change = jnp.abs(dual - dual_new) / (dual + _EPS)
         stalled = jnp.logical_and(prim_change < cfg.stall, dual_change < cfg.stall)
+        if accel:
+            # a restart reverts to the last accepted iterate and the step
+            # after it recomputes that same point, so residuals repeat
+            # exactly across both — not a genuine stall; require two
+            # consecutive accepted (momentum) steps before trusting it
+            stalled = jnp.logical_and(stalled, jnp.logical_and(ok, ok_prev))
 
         s_new = s
         if adaptive:
@@ -237,18 +296,33 @@ def admm_solve(
             SolveStatus.CONVERGED,
             jnp.where(stalled, SolveStatus.STALLED, SolveStatus.RUNNING),
         ).astype(jnp.int32)
+        if accel:
+            return (
+                j + 1, z_x, z_u, lmb_x, lmb_u, out, prim_new, dual_new,
+                logs, s_new, acc, status_new,
+            )
         return (
             j + 1, z_x, z_u, lmb_x, lmb_u, out, prim_new, dual_new, logs,
             s_new, status_new,
         )
 
-    state0 = (
-        jnp.int32(0), z_x, z_u, lmb_x, lmb_u, zeros_out, big, big, logs0,
-        one, jnp.int32(SolveStatus.RUNNING),
-    )
-    j, z_x, z_u, lmb_x, lmb_u, out, prim, dual, logs, _s, status = lax.while_loop(
-        cond, body, state0
-    )
+    if accel:
+        acc0 = (z_x, z_u, lmb_x, lmb_u, one, jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(True))
+        state0 = (
+            jnp.int32(0), z_x, z_u, lmb_x, lmb_u, zeros_out, big, big,
+            logs0, one, acc0, jnp.int32(SolveStatus.RUNNING),
+        )
+        (j, _zx_hat, _zu_hat, _lx_hat, _lu_hat, out, prim, dual, logs, _s,
+         acc, status) = lax.while_loop(cond, body, state0)
+        z_x, z_u, lmb_x, lmb_u, _a, _c = acc  # last *accepted* iterates
+    else:
+        state0 = (
+            jnp.int32(0), z_x, z_u, lmb_x, lmb_u, zeros_out, big, big, logs0,
+            one, jnp.int32(SolveStatus.RUNNING),
+        )
+        (j, z_x, z_u, lmb_x, lmb_u, out, prim, dual, logs, _s,
+         status) = lax.while_loop(cond, body, state0)
     status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status)
     info = ADMMInfo(iters=j, prim_res=prim, dual_res=dual, status=status, logs=logs)
     x_x, x_u = out[0], out[1]
