@@ -9,8 +9,14 @@ from ilqr_admm_tpu.parallel.time_sharded import (
     lqt_backward_time_sharded,
     time_sharded_suffix_scan,
 )
+from ilqr_admm_tpu.parallel.consensus import (
+    project_set_convex_stacked,
+    project_set_convex_sharded,
+)
 
 __all__ = [
+    "project_set_convex_stacked",
+    "project_set_convex_sharded",
     "make_mesh",
     "instance_sharding",
     "batched_lqt_admm_dp",

@@ -180,15 +180,21 @@ class ADMMConfig:
     rho_scale_max: float = 1e3
     # Nesterov-accelerated ADMM with adaptive restart (Goldstein,
     # O'Donoghue, Setzer & Baraniuk 2014, "Fast ADMM", Alg. 8):
-    # momentum on (z, lambda), monitored by the combined residual
-    # c_k = ||lambda_k - lambda_hat||^2 + ||z_k - z_hat||^2; a restart
-    # (revert momentum, reset step to 1) whenever c_k fails to decay by
-    # accel_eta keeps the method safe for general convex problems. Not
-    # in the reference (plain ADMM throughout) — cuts iterations-to-
-    # tolerance on the strongly convex LQT subproblems. Mutually
-    # exclusive with adaptive_rho (momentum assumes a fixed penalty).
+    # momentum on (z, lambda), monitored by the rho-weighted combined
+    # residual c_k = ||lambda_k - lambda_hat||^2_rho + ||z_k - z_hat||^2_rho;
+    # a restart (revert momentum, reset step to 1) fires whenever
+    # c_k >= accel_eta * c_{k-1}. Goldstein's eta=0.999 (strict decay)
+    # degenerates to plain ADMM at half speed whenever the problem's
+    # linear rate is slower than eta — the monitor then rejects even
+    # momentum-free steps, so every other iteration reverts-and-recomputes
+    # the same point. eta slightly above 1 tolerates the slow-rate regime
+    # (measured on the control-bounds LQT with rho 1000x too small:
+    # eta=0.999 never converges in 2000 iters; eta=1.02 converges in ~650
+    # vs 20,000+ plain). Not in the reference (plain ADMM throughout).
+    # Mutually exclusive with adaptive_rho (momentum assumes a fixed
+    # penalty).
     accel: bool = False
-    accel_eta: float = 0.999
+    accel_eta: float = 1.02
 
     @property
     def stall(self) -> float:

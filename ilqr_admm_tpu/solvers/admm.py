@@ -208,8 +208,13 @@ def admm_solve(
             if adaptive:
                 dual_bal = dual_bal + _norm(rwx(z_x_new - z_x))
             if accel:
-                c_new = c_new + jnp.sum((lmb_x_new - lmb_x) ** 2)
-                c_new = c_new + jnp.sum((z_x_new - z_x) ** 2)
+                # rho-weighted combined residual (Goldstein c_k uses
+                # ||y - y_hat||^2/rho + rho||z - z_hat||^2; with scaled
+                # duals both terms carry a factor rho, supplied by the
+                # rho_weight hooks so blocks with different penalties are
+                # weighted consistently; identity hooks = single-rho).
+                dl, dz = lmb_x_new - lmb_x, z_x_new - z_x
+                c_new = c_new + jnp.sum(dl * rwx(dl)) + jnp.sum(dz * rwx(dz))
             lmb_x = lmb_x_new
             z_x = z_x_new
         if has_u:
@@ -223,8 +228,8 @@ def admm_solve(
             if adaptive:
                 dual_bal = dual_bal + _norm(rwu(z_u_new - z_u))
             if accel:
-                c_new = c_new + jnp.sum((lmb_u_new - lmb_u) ** 2)
-                c_new = c_new + jnp.sum((z_u_new - z_u) ** 2)
+                dl, dz = lmb_u_new - lmb_u, z_u_new - z_u
+                c_new = c_new + jnp.sum(dl * rwu(dl)) + jnp.sum(dz * rwu(dz))
             lmb_u = lmb_u_new
             z_u = z_u_new
 
@@ -255,6 +260,11 @@ def admm_solve(
         logs = logs.at[j].set(jnp.stack([prim_new, dual_new]))
 
         converged = jnp.logical_and(prim_new < cfg.tol, dual_new < cfg.tol)
+        if accel:
+            # only an *accepted* step may converge: on a reject the loop
+            # returns the reverted previous (z, lambda) from acc, so the
+            # candidate's residuals do not describe the returned state
+            converged = jnp.logical_and(converged, ok)
         prim_change = jnp.abs(prim - prim_new) / (prim + _EPS)
         dual_change = jnp.abs(dual - dual_new) / (dual + _EPS)
         stalled = jnp.logical_and(prim_change < cfg.stall, dual_change < cfg.stall)
@@ -315,7 +325,7 @@ def admm_solve(
         )
         (j, _zx_hat, _zu_hat, _lx_hat, _lu_hat, out, prim, dual, logs, _s,
          acc, status) = lax.while_loop(cond, body, state0)
-        z_x, z_u, lmb_x, lmb_u, _a, _c = acc  # last *accepted* iterates
+        z_x, z_u, lmb_x, lmb_u, _a, _c, _ok = acc  # last *accepted* iterates
     else:
         state0 = (
             jnp.int32(0), z_x, z_u, lmb_x, lmb_u, zeros_out, big, big, logs0,

@@ -120,8 +120,24 @@ def _lqt_admm_batch_impl(
         if SuTQr_Su is not None:
             l_side = l_side + SuTQr_Su
             r_side = r_side - SuTQr @ free
+            if cfg.accel:
+                # rho-weight the accel restart monitor per block
+                Qr_s = Qr
+
+                def rho_wx(r):
+                    return jnp.einsum(
+                        "nij,nj->ni", Qr_s, r.reshape(N, d)
+                    ).reshape(-1)
+
         if Rr_l is not None:
             l_side = l_side + Rr_l
+            if cfg.accel:
+                Rr_s = Rr
+
+                def rho_wu(r):
+                    return jnp.einsum(
+                        "nij,nj->ni", Rr_s, r.reshape(N, m)
+                    ).reshape(-1)
 
         cf = cho_factor(l_side)
 

@@ -300,7 +300,7 @@ def test_accel_converges_faster_from_bad_rho():
     """From a 1000x-too-small rho (where plain ADMM needs >>10k
     iterations: its linear rate degrades with the penalty mis-scaling),
     momentum + restart converges to the golden solution in a few hundred
-    (measured: 414 vs 20,000+ plain)."""
+    (measured: 654 at the default accel_eta=1.02 vs 20,000+ plain)."""
     plant, A, B, cost = control_bounds_problem()
     N = 100
     x0 = jnp.zeros(plant.x_dim)
