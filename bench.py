@@ -34,6 +34,48 @@ import jax.numpy as jnp
 BASELINE_ITERS_PER_S = 500 / 0.172  # reference ADMM_LQT_DP (BASELINE.md)
 
 
+def _oracle_cost_gap(A, B, cost, x0s, z_u):
+    """Relative cost gap of the feasible z-iterates vs an f64 oracle.
+
+    Lifts the f32 problem data exactly to f64 (f32->f64 is exact, so the
+    oracle solves the *same* QP in higher precision) and solves each
+    box-constrained instance min_u u^T M u - 2 r^T u, |u| <= 5 with
+    L-BFGS-B. Returns (median, max) of (J(z) - J(u*)) / |J(u*)|.
+    """
+    from scipy.optimize import minimize
+
+    from ilqr_admm_tpu.ops.lifted import build_Su, sw_x0
+    from ilqr_admm_tpu.solvers.lqt import block_diag_stacked
+
+    Su = np.asarray(build_Su(A, B), np.float64)
+    Q = np.asarray(block_diag_stacked(cost.Q), np.float64)
+    R = np.asarray(block_diag_stacked(cost.R), np.float64)
+    xd = np.asarray(cost.lifted_xd(), np.float64)
+    M = Su.T @ Q @ Su + R
+    dim = M.shape[0]
+    bounds = [(-5.0, 5.0)] * dim
+
+    gaps = []
+    for x0, z in zip(np.asarray(x0s, np.float64), z_u):
+        free = np.asarray(sw_x0(A, jnp.asarray(x0)).reshape(-1), np.float64)
+        r = Su.T @ (Q @ (xd - free))
+        const = (free - xd) @ Q @ (free - xd)
+
+        def f_and_g(v):
+            Mv = M @ v
+            return v @ Mv - 2.0 * r @ v, 2.0 * (Mv - r)
+
+        res = minimize(
+            f_and_g, z, jac=True, method="L-BFGS-B", bounds=bounds,
+            options={"ftol": 1e-16, "gtol": 1e-12, "maxiter": 2000},
+        )
+        j_opt = res.fun + const
+        j_z = z @ (M @ z) - 2.0 * r @ z + const
+        gaps.append((j_z - j_opt) / max(abs(j_opt), 1e-12))
+    gaps = np.asarray(gaps)
+    return float(np.median(gaps)), float(np.max(gaps))
+
+
 def main():
     from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
     from ilqr_admm_tpu.projections import project_bound
@@ -63,12 +105,14 @@ def main():
             rho_u=1e-2, n_iters=ADMM_ITERS, batch_tile=2048,
         )
         solve = lambda x0s: solve_p(x0s)[:2]
+        solve_zu = lambda x0s: solve_p(x0s)[3]
     except Exception:
         solve = make_batched_lqt_admm(
             A, B, cost,
             project_u=lambda u: project_bound(u, -5.0, 5.0),
             rho_u=1e-2, n_iters=ADMM_ITERS,
         )
+        solve_zu = lambda x0s: jnp.clip(solve(x0s)[1], -5.0, 5.0)
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.normal(0.0, 0.1, size=(BATCH, d)), jnp.float32)
@@ -76,12 +120,27 @@ def main():
     # warmup / compile
     x, u = solve(x0s)
     jax.block_until_ready(u)
-
-    # correctness guard: x-update iterate near the bound after 100 fixed
-    # iterations (z-iterate is feasible by construction; full convergence
-    # is covered by the test suite)
-    assert float(jnp.max(jnp.abs(u))) <= 5.5
     assert bool(jnp.all(jnp.isfinite(u)))
+
+    # --- solution-quality certificates (VERDICT r1 #5: the metric must
+    # carry convergence / feasibility / optimality evidence, not a
+    # max|u| smell test) -------------------------------------------------
+    z_u = solve_zu(x0s)
+    # feasibility of the reported (projected) iterate — 0 by construction
+    max_violation = float(jnp.max(jnp.maximum(jnp.abs(z_u) - 5.0, 0.0)))
+    # per-instance primal residual ||u - z|| at the reference ADMM
+    # tolerance (control-bounds notebook runs at tol 1e-4)
+    prim = jnp.linalg.norm(u - z_u, axis=-1)
+    converged_frac = float(jnp.mean((prim < 1e-4).astype(jnp.float32)))
+    # cost gap vs an f64 oracle on a subsample: the same QP (the f32
+    # problem data lifted exactly to f64) solved to optimality with
+    # bound-constrained L-BFGS-B; BASELINE.json's own bar is 1e-4
+    cost_gap_med, cost_gap_max = _oracle_cost_gap(
+        A, B, cost, x0s[:64], np.asarray(z_u[:64], np.float64)
+    )
+
+    assert max_violation == 0.0, f"infeasible z-iterate: {max_violation}"
+    assert cost_gap_med <= 1e-4, f"median cost gap {cost_gap_med} > 1e-4"
 
     # steady-state throughput: pipeline K solves per timing window so the
     # host->device dispatch round trip (~26 ms through the axon tunnel —
@@ -105,6 +164,13 @@ def main():
                 "value": round(iters_per_s, 1),
                 "unit": "ADMM+Riccati iterations/s",
                 "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
+                # solution-quality certificates (subsample oracle = 64
+                # instances, f64 L-BFGS-B; gaps are relative cost excess
+                # of the feasible z-iterate over the true optimum)
+                "converged_frac": round(converged_frac, 4),
+                "max_violation": max_violation,
+                "cost_gap_median": float(f"{cost_gap_med:.3g}"),
+                "cost_gap_max": float(f"{cost_gap_max:.3g}"),
             }
         )
     )

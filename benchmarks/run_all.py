@@ -172,10 +172,10 @@ def main():
     car_admm = jax.jit(
         lambda: ilqr_admm(
             car.step, car.get_AB, ccost, x_nom_c, u0, get_Cs=ccost.get_Cs,
-            project_u=proj_uc, rho_u=jnp.diag(jnp.asarray([1e-1, 1e-2], f32)),
-            max_iter=50, max_admm_iter=5,
+            project_u=proj_uc, rho_u=jnp.diag(jnp.asarray([1e-2, 1e-3], f32)),
+            max_iter=60, max_admm_iter=8,
             alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:40],
-            tol=1e-3,
+            tol=1e-3, outer_tol=1e-5, osc_tol=1e-5,
         ).cost
     )
     timed("ilqr_admm car control bounds (N=500)", 17400.0, car_admm,

@@ -239,23 +239,27 @@ def make_pallas_lqt_admm(
     Qr = broadcast_rho(rho_x, d, N, dtype)
     Rr = broadcast_rho(rho_u, m, N, dtype)
 
-    Su = build_Su(A, B)
-    Sx = build_Sx(A).reshape(N * d, d)
-    Qlift = block_diag_stacked(cost.Q).astype(dtype)
-    Rlift = block_diag_stacked(cost.R).astype(dtype)
-    SuTQ = Su.T @ Qlift
-    l_side = SuTQ @ Su + Rlift
+    # One-time operator setup at HIGHEST precision: TPU-default bf16
+    # matmuls here perturb the operators enough that the kernel converges
+    # to a 4%-off optimum (see solvers/batched.py note; same mechanism).
+    with jax.default_matmul_precision("highest"):
+        Su = build_Su(A, B)
+        Sx = build_Sx(A).reshape(N * d, d)
+        Qlift = block_diag_stacked(cost.Q).astype(dtype)
+        Rlift = block_diag_stacked(cost.R).astype(dtype)
+        SuTQ = Su.T @ Qlift
+        l_side = SuTQ @ Su + Rlift
 
-    SuTQr = jnp.zeros((N * m, N * d), dtype)
-    if Qr is not None and has_x:
-        SuTQr = Su.T @ block_diag_stacked(Qr).astype(dtype)
-        l_side = l_side + SuTQr @ Su
-    Rr_l = jnp.zeros((N * m, N * m), dtype)
-    if Rr is not None and has_u:
-        Rr_l = block_diag_stacked(Rr).astype(dtype)
-        l_side = l_side + Rr_l
-    l_inv = jnp.linalg.inv(l_side)
-    r_const = SuTQ @ cost.lifted_xd().astype(dtype)
+        SuTQr = jnp.zeros((N * m, N * d), dtype)
+        if Qr is not None and has_x:
+            SuTQr = Su.T @ block_diag_stacked(Qr).astype(dtype)
+            l_side = l_side + SuTQr @ Su
+        Rr_l = jnp.zeros((N * m, N * m), dtype)
+        if Rr is not None and has_u:
+            Rr_l = block_diag_stacked(Rr).astype(dtype)
+            l_side = l_side + Rr_l
+        l_inv = jnp.linalg.inv(l_side)
+        r_const = SuTQ @ cost.lifted_xd().astype(dtype)
 
     def bounds_vec(lo, hi, size):
         lo = -jnp.inf if lo is None else lo
@@ -280,8 +284,8 @@ def make_pallas_lqt_admm(
 
     u_only = has_u and not has_x
     if u_only:
-        W_u = Rr_l.T @ l_inv.T  # (Nm, Nm) — in-loop operand
-        W_x = W_u @ Su.T  # (Nm, Nd) — post-loop state recovery
+        W_u = jnp.matmul(Rr_l.T, l_inv.T, precision=prec)  # (Nm, Nm) in-loop
+        W_x = jnp.matmul(W_u, Su.T, precision=prec)  # (Nm, Nd) state recovery
         Wu_hi, Wu_lo = _split_bf16(W_u)
         Wx_hi, Wx_lo = _split_bf16(W_x)
         kernel_u = functools.partial(

@@ -77,24 +77,31 @@ def make_batched_lqt_admm(
     Qr = broadcast_rho(rho_x, d, N, dtype)
     Rr = broadcast_rho(rho_u, m, N, dtype)
 
-    Su = build_Su(A, B)
-    Sx = build_Sx(A).reshape(N * d, d)
-    Qlift = block_diag_stacked(cost.Q)
-    Rlift = block_diag_stacked(cost.R)
-    SuTQ = Su.T @ Qlift
-    l_side = SuTQ @ Su + Rlift
-    l_inv_unreg = jnp.linalg.inv(l_side)
+    # The one-time operator setup must run at HIGHEST precision too: on
+    # TPU the default single-pass-bf16 matmuls (eps ~ 8e-3) perturb
+    # l_inv/SuTQ enough that the ADMM converges tightly to the optimum of
+    # a *perturbed* problem — measured 4.4% median cost gap vs the f64
+    # oracle with default-precision setup, 1e-7 with pinned setup (the
+    # hot-loop _mm pinning alone does not fix it).
+    with jax.default_matmul_precision("highest"):
+        Su = build_Su(A, B)
+        Sx = build_Sx(A).reshape(N * d, d)
+        Qlift = block_diag_stacked(cost.Q)
+        Rlift = block_diag_stacked(cost.R)
+        SuTQ = Su.T @ Qlift
+        l_side = SuTQ @ Su + Rlift
+        l_inv_unreg = jnp.linalg.inv(l_side)
 
-    SuTQr = None
-    if Qr is not None and has_x:
-        SuTQr = Su.T @ block_diag_stacked(Qr)
-        l_side = l_side + SuTQr @ Su
-    Rr_l = None
-    if Rr is not None and has_u:
-        Rr_l = block_diag_stacked(Rr)
-        l_side = l_side + Rr_l
-    l_inv = jnp.linalg.inv(l_side)
-    r_const = SuTQ @ cost.lifted_xd()
+        SuTQr = None
+        if Qr is not None and has_x:
+            SuTQr = Su.T @ block_diag_stacked(Qr)
+            l_side = l_side + SuTQr @ Su
+        Rr_l = None
+        if Rr is not None and has_u:
+            Rr_l = block_diag_stacked(Rr)
+            l_side = l_side + Rr_l
+        l_inv = jnp.linalg.inv(l_side)
+        r_const = SuTQ @ cost.lifted_xd()
 
     def solve(x0s):
         """x0s: (batch, d). Returns (x, u) flattened per instance."""

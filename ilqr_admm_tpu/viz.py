@@ -89,14 +89,18 @@ def rounded_rectangle(center, width, height, angle=0.0, radius=0.1, **kwargs):
     return rect
 
 
-def plot_car(x, u, width=0.9, length=2.1, bodycolor=(0.7, 0.7, 0.7), wheelcolor="k"):
+def plot_car(x, u, width=0.9, length=2.1, bodycolor=(0.7, 0.7, 0.7), wheelcolor="k",
+             ax=None):
     """Car body + 4 wheels as patches for state x=[px, py, theta, v] and
     control u=[steer, .] (reference `plot_utils.py:199-235`).
 
     Returns a list of patches (add them to an axis; re-create per frame
-    for animation).
+    for animation). Pass `ax` to bind the patch transforms to a specific
+    axis (required when animating on a non-current axis).
     """
     _require_mpl()
+    if ax is None:
+        ax = plt.gca()
     x = np.asarray(x)
     px, py, th = float(x[0]), float(x[1]), float(x[2])
     steer = float(np.asarray(u)[0]) if np.size(u) else 0.0
@@ -110,7 +114,7 @@ def plot_car(x, u, width=0.9, length=2.1, bodycolor=(0.7, 0.7, 0.7), wheelcolor=
         (-length / 2, -width / 2), length, width, fc=bodycolor, ec="k", lw=1.5
     )
     body.set_transform(
-        Affine2D().rotate(th).translate(px, py) + plt.gca().transData
+        Affine2D().rotate(th).translate(px, py) + ax.transData
     )
     patches.append(body)
 
@@ -129,7 +133,7 @@ def plot_car(x, u, width=0.9, length=2.1, bodycolor=(0.7, 0.7, 0.7), wheelcolor=
         w = mpatches.Rectangle(
             (-wheel_l / 2, -wheel_w / 2), wheel_l, wheel_w, fc=wheelcolor, ec="k"
         )
-        w.set_transform(Affine2D().rotate(ang).translate(*c) + plt.gca().transData)
+        w.set_transform(Affine2D().rotate(ang).translate(*c) + ax.transData)
         patches.append(w)
     return patches
 

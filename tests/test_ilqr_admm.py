@@ -39,17 +39,17 @@ def test_car_control_bounds():
     res = ilqr_admm(
         car.step, car.get_AB, cost, x_nom0, u0,
         get_Cs=cost.get_Cs, project_u=proj_u,
-        rho_u=jnp.diag(jnp.asarray([1e-1, 1e-2])),
-        max_iter=50, max_admm_iter=5,
+        rho_u=jnp.diag(jnp.asarray([1e-2, 1e-3])),
+        max_iter=60, max_admm_iter=8,
         alphas=10.0 ** jnp.linspace(0.0, -5.0, 50)[:40],
-        tol=1e-3,
+        tol=1e-3, outer_tol=1e-5, osc_tol=1e-5,
     )
     us = np.asarray(res.u_nom)
     # bound satisfaction (constraint oracle, ADMM-tolerance slack)
-    assert us[:, 0].max() <= 0.5 + 5e-2 and us[:, 0].min() >= -0.5 - 5e-2
-    assert us[:, 1].max() <= 2.0 + 5e-2 and us[:, 1].min() >= -2.0 - 5e-2
-    # reference final cost 1.903; allow generous slack for init differences
-    assert float(res.cost) < 2.6, float(res.cost)
+    assert us[:, 0].max() <= 0.5 + 1e-3 and us[:, 0].min() >= -0.5 - 1e-3
+    assert us[:, 1].max() <= 2.0 + 1e-3 and us[:, 1].min() >= -2.0 - 1e-3
+    # reference final cost 1.903 (DDP-replicate c21); measured 1.9054
+    assert float(res.cost) < 1.92, float(res.cost)
     # constrained cost must exceed the unconstrained optimum (~0.93)
     assert float(res.cost) > 0.9
 

@@ -146,7 +146,9 @@ def test_robust_sls_vs_dp_chance_constraints():
 
     # reference: DP 23.44 %, SLS 89.59 % (α = 0.9)
     assert rate_sls > rate_dp, (rate_sls, rate_dp)
-    assert rate_sls >= 0.80, rate_sls
+    # tightened to within binomial noise of the reference (89.59 % over
+    # 10k samples -> sigma ~ 0.3 pp; 0.88 allows solver-level drift only)
+    assert rate_sls >= 0.88, rate_sls
     assert rate_dp <= 0.60, rate_dp
 
 
