@@ -7,7 +7,9 @@ pass (`solvers/boxddp.py`) — against the ADMM path on the same problem,
 and a barrier interior-point solve with a per-stage SOC on the controls
 (an input cone the reference cannot express at all).
 
-Run: python examples/boxddp_car_parking.py
+Run: python examples/boxddp_car_parking.py [--animate [out.gif]]
+--animate renders the boxDDP parking maneuver to a GIF (reference
+parity: DDP-replicate notebook cell 22's animation).
 """
 
 import os, sys
@@ -66,7 +68,19 @@ def main():
     nrm = np.linalg.norm(np.asarray(st_c.u_nom) * np.asarray(W), axis=-1)
     print(f"barrier SOC ||W u||<=1: cost {float(st_c.cost):.4f}, "
           f"max||W u|| {nrm.max():.6f}, status {SolveStatus(int(st_c.status)).name}")
+    return st_b
 
 
 if __name__ == "__main__":
-    main()
+    st = main()
+    if "--animate" in sys.argv:
+        from ilqr_admm_tpu.viz import animate_car
+
+        idx = sys.argv.index("--animate")
+        out = (sys.argv[idx + 1] if len(sys.argv) > idx + 1
+               and not sys.argv[idx + 1].startswith("-") else "car_parking.gif")
+        path = animate_car(
+            np.asarray(st.x_nom), np.asarray(st.u_nom), out,
+            xlim=(-3, 3), ylim=(-3, 3), stride=10, fps=12,
+        )
+        print(f"animation written to {path}")

@@ -65,7 +65,17 @@ class CarSimple:
     def __init__(self, dt: float = 0.03):
         self.dt = dt
 
-    def _step_nowrap(self, x, u):
+    def step_unwrapped(self, x, u):
+        """Dynamics without the theta wrap — the differentiable twin.
+
+        The reference's closed-form `get_AB` differentiates exactly this
+        (the mod is cosmetic, keeping theta in [0, 2pi) for plotting),
+        and its executed trajectories never cross the wrap boundary.
+        Prefer this for solves: the wrap's discontinuity makes line-
+        search candidates that momentarily dip theta below 0 jump by
+        2pi and blow up the feedback rollout. Reproduces the notebook's
+        unconstrained golden 0.687658 exactly.
+        """
         dt = self.dt
         return jnp.stack([
             x[0] + dt * x[3] * jnp.cos(x[2]),
@@ -73,6 +83,9 @@ class CarSimple:
             x[2] + dt * x[3] * u[0],
             x[3] + dt * u[1],
         ])
+
+    # back-compat alias
+    _step_nowrap = step_unwrapped
 
     def step(self, x: jax.Array, u: jax.Array) -> jax.Array:
         s = self._step_nowrap(x, u)

@@ -192,6 +192,83 @@ def plotArmBasis(ax, p, sz=0.1, facecol="gray", edgecol="k", alpha=1.0, zorder=1
                     sz=sz, alpha=alpha, zorder=zorder)
 
 
+def animate_trajectory(draw_frame, n_frames, path, fps=25, figsize=(6, 6),
+                       dpi=80, stride=1):
+    """Render an animation to a GIF (or any Pillow-writable) file.
+
+    Equivalent of the reference's notebook animations (DDP-replicate
+    notebook cell 22, helpers `plot_utils.py:199-235`), with
+    `matplotlib.animation.FuncAnimation` + the Pillow writer standing in
+    for the reference's imagemagick/ffmpeg backend (not in this image).
+
+    draw_frame(ax, t): redraw frame t on a cleared axis.
+    stride: render every stride-th frame (long horizons -> small GIFs).
+    Returns the written path.
+    """
+    _require_mpl()
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    frames = list(range(0, n_frames, stride))
+    fig, ax = plt.subplots(figsize=figsize)
+
+    def update(t):
+        ax.clear()
+        draw_frame(ax, t)
+
+    anim = FuncAnimation(fig, update, frames=frames)
+    anim.save(path, writer=PillowWriter(fps=fps), dpi=dpi)
+    plt.close(fig)
+    return path
+
+
+def animate_car(xs, us, path, xlim=(-4, 4), ylim=(-4, 4), fps=25, stride=1,
+                trail=True, **car_kwargs):
+    """Animate a car trajectory to a GIF.
+
+    xs: (N, >=3) states [px, py, theta, ...]; us: (N, >=1) controls
+    [steer, ...] (front wheels turn with the steering command, as in the
+    reference's control-limited DDP car animation).
+    """
+    _require_mpl()
+    xs = np.asarray(xs)
+    us = np.asarray(us)
+
+    def draw(ax, t):
+        if trail:
+            ax.plot(xs[: t + 1, 0], xs[: t + 1, 1], "-", color="tab:blue",
+                    lw=1.5, alpha=0.7)
+        for p in plot_car(xs[t], us[min(t, len(us) - 1)], ax=ax, **car_kwargs):
+            ax.add_patch(p)
+        ax.set_xlim(*xlim)
+        ax.set_ylim(*ylim)
+        ax.set_aspect("equal")
+        ax.set_title(f"t = {t}")
+
+    return animate_trajectory(draw, len(xs), path, fps=fps, stride=stride)
+
+
+def animate_arm(qs, lengths, path, xlim=(-3.2, 3.2), ylim=(-3.2, 3.2),
+                fps=25, stride=1, target=None, **arm_kwargs):
+    """Animate a planar-arm joint trajectory to a GIF.
+
+    qs: (N, n_joints) joint angles; lengths: link lengths; target:
+    optional (2,) end-effector goal to mark.
+    """
+    _require_mpl()
+    qs = np.asarray(qs)
+
+    def draw(ax, t):
+        plotArm(ax, lengths, qs[t], **arm_kwargs)
+        if target is not None:
+            ax.plot([target[0]], [target[1]], "*", color="tab:red", ms=14)
+        ax.set_xlim(*xlim)
+        ax.set_ylim(*ylim)
+        ax.set_aspect("equal")
+        ax.set_title(f"t = {t}")
+
+    return animate_trajectory(draw, len(qs), path, fps=fps, stride=stride)
+
+
 def plot_convergence(cost_log, ax=None, **kwargs):
     """Cost-vs-iteration convergence plot (every reference notebook)."""
     _require_mpl()
