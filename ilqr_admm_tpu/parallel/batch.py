@@ -111,7 +111,10 @@ def sharded_instance_solve(
         out_specs=P(axis),
         check_vma=False,  # while_loop carries start unvarying, become varying
     )
-    return shard_fn(*batched_args)
+    # jit the sharded program: eager shard_map dispatches the body
+    # primitive-by-primitive across all mesh devices (measured ~10x
+    # slower than the compiled program on the 8-device CPU test mesh)
+    return jax.jit(shard_fn)(*batched_args)
 
 
 def mc_success_rate(
@@ -140,4 +143,4 @@ def mc_success_rate(
         out_specs=P(),
         check_vma=False,
     )
-    return fn(*batched_args)
+    return jax.jit(fn)(*batched_args)

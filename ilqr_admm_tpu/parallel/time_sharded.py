@@ -42,7 +42,8 @@ def time_sharded_suffix_scan(combine, identity, elems, mesh: Mesh, axis: str):
 
     combine(earlier, later) must broadcast over a leading batch dim;
     identity(prefix) builds identity elements. N must divide evenly by
-    the mesh axis size.
+    the mesh axis size. Call under `jax.jit` — eager shard_map dispatch
+    of the P-step combine chain is orders of magnitude slower.
     """
     P_ = mesh.shape[axis]
     N = jax.tree_util.tree_leaves(elems)[0].shape[0]
@@ -79,7 +80,30 @@ def time_sharded_suffix_scan(combine, identity, elems, mesh: Mesh, axis: str):
     )(elems)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "fast_inverse")
+)
 @highest_precision
+def _lqt_backward_time_sharded_impl(
+    A, B, Q, xd, R, Qr, xr, Rr, ur, *, mesh, axis, fast_inverse
+) -> DPGains:
+    d = A.shape[-1]
+    dtype = A.dtype
+    elems, U, s = value_elements(
+        A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur, fast_inverse=fast_inverse
+    )
+    comb = functools.partial(_combine, fast_inverse=fast_inverse)
+    scanned = time_sharded_suffix_scan(
+        comb, lambda p: _identity_elems(p, d, dtype), elems, mesh, axis
+    )
+    # keep the scan results (and gain extraction) sharded over time
+    sharding = NamedSharding(mesh, P(axis))
+    scanned = jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, sharding), scanned
+    )
+    return gains_from_scanned(A, B, U, s, scanned, fast_inverse=fast_inverse)
+
+
 def lqt_backward_time_sharded(
     A: jax.Array,
     B: jax.Array,
@@ -101,25 +125,19 @@ def lqt_backward_time_sharded(
     but the (N, ...) arrays live sharded along the time axis: each device
     scans its chunk, one all_gather joins the chunks. Collective traffic
     is O(P · d²) per solve regardless of N.
+
+    Jitted with (mesh, axis, fast_inverse) static: eager shard_map
+    dispatch of the combine chain is catastrophically slow on many-device
+    meshes (measured ~70 s/call vs ~1 s jitted at N=64 on the 8-device
+    CPU test mesh) and the jit cache makes repeat solves free.
     """
-    d = A.shape[-1]
-    dtype = A.dtype
-    if fast_inverse and d > 4:
+    if fast_inverse and A.shape[-1] > 4:
         raise ValueError(
             f"fast_inverse=True uses the closed-form adjugate inverse, which "
-            f"supports state dim <= 4 (got d={d}); use the default LU combine "
-            "for larger states"
+            f"supports state dim <= 4 (got d={A.shape[-1]}); use the default "
+            "LU combine for larger states"
         )
-    elems, U, s = value_elements(
-        A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur, fast_inverse=fast_inverse
+    return _lqt_backward_time_sharded_impl(
+        A, B, Q, xd, R, Qr, xr, Rr, ur,
+        mesh=mesh, axis=axis, fast_inverse=fast_inverse,
     )
-    comb = functools.partial(_combine, fast_inverse=fast_inverse)
-    scanned = time_sharded_suffix_scan(
-        comb, lambda p: _identity_elems(p, d, dtype), elems, mesh, axis
-    )
-    # keep the scan results (and gain extraction) sharded over time
-    sharding = NamedSharding(mesh, P(axis))
-    scanned = jax.tree_util.tree_map(
-        lambda x: jax.lax.with_sharding_constraint(x, sharding), scanned
-    )
-    return gains_from_scanned(A, B, U, s, scanned, fast_inverse=fast_inverse)

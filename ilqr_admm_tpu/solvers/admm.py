@@ -154,9 +154,9 @@ def admm_solve(
             raise ValueError(
                 "adaptive_rho=True requires an f_argmin accepting "
                 "(reg_x, reg_u, rho_scale); this x-update takes only "
-                "(reg_x, reg_u) — adaptive penalties are currently "
-                "supported by the batch LQT x-update "
-                "(lqt_admm_batch(use_qr=False)) only"
+                "(reg_x, reg_u) — adaptive penalties are supported by "
+                "the batch LQT (lqt_admm_batch(use_qr=False)), DP LQT "
+                "(lqt_admm_dp) and robust-SLS (sls_admm) x-updates"
             ) from e
     else:
         out_shapes = jax.eval_shape(

@@ -70,13 +70,48 @@ def _sls_admm_impl(
     r_side_fb = -SuTQ @ Sx
 
     SuTQr = None
+    reg_mat = jnp.zeros_like(l_side)
+    reg_fb = jnp.zeros_like(r_side_fb)
     if Qr_l is not None and project_x is not None:
         SuTQr = Su.T @ Qr_l
-        l_side = l_side + SuTQr @ Su
-        r_side_fb = r_side_fb - SuTQr @ Sx
+        reg_mat = reg_mat + SuTQr @ Su
+        reg_fb = -SuTQr @ Sx
     if Rr_l is not None and project_u is not None:
-        l_side = l_side + Rr_l
+        reg_mat = reg_mat + Rr_l
 
+    weight_x = (lambda r: Qr_l @ r) if Qr_l is not None else None
+    weight_u = (lambda r: Rr_l @ r) if Rr_l is not None else None
+
+    if cfg.adaptive_rho:
+        # residual-balancing penalties scale the whole regularizer by the
+        # driver's rho_scale s: refactor the (Nm, Nm) normal matrix each
+        # iteration (VERDICT r1 #9 — the robust-SLS x-update previously
+        # errored under adaptive_rho)
+        r_side0 = jnp.concatenate([r_side_ff[:, None], r_side_fb], axis=-1)
+
+        def f_argmin(x, u, s):
+            r = r_side0.at[:, 1:].add(s * reg_fb)
+            if SuTQr is not None and x is not None:
+                r = r + s * (SuTQr @ x)
+            if Rr_l is not None and u is not None:
+                r = r + s * (Rr_l @ u)
+            U = cho_solve(cho_factor(l_side + s * reg_mat), r)
+            X = Su @ U
+            X = X.at[:, 1:].add(Sx)
+            return X, U
+
+        x_x, x_u, _, _, _, _, _, info = admm_solve(
+            f_argmin, project_x, project_u,
+            (N * d, p + 1), (N * m, p + 1), cfg,
+            weight_x=weight_x, weight_u=weight_u,
+            rho_weight_x=weight_x, rho_weight_u=weight_u, dtype=dtype,
+        )
+        du = x_u[:, 0]
+        phi_u = jnp.concatenate([x_u[:, 1 : p + 1], PHI_U_unc[:, p:]], axis=-1)
+        return du, phi_u, info
+
+    l_side = l_side + reg_mat
+    r_side_fb = r_side_fb + reg_fb
     cf = cho_factor(l_side)
     r_side = jnp.concatenate([r_side_ff[:, None], r_side_fb], axis=-1)  # (Nm, p+1)
 
@@ -90,9 +125,6 @@ def _sls_admm_impl(
         X = Su @ U
         X = X.at[:, 1:].add(Sx)
         return X, U
-
-    weight_x = (lambda r: Qr_l @ r) if Qr_l is not None else None
-    weight_u = (lambda r: Rr_l @ r) if Rr_l is not None else None
 
     x_x, x_u, _, _, _, _, _, info = admm_solve(
         f_argmin, project_x, project_u,

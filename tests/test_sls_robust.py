@@ -180,3 +180,41 @@ def test_sls_admm_control_bounds_unweighted_feasibility():
         np.asarray(phi_u[:, 0])
     )
     assert margin.max() <= 5.0 + 5e-2, margin.max()
+
+
+def test_sls_admm_adaptive_rho_matches_fixed():
+    """Adaptive-rho robust-SLS x-update (VERDICT r1 #9: previously
+    errored) — recovers the fixed-rho robust solution from a 100x-off
+    penalty."""
+    plant = DoubleIntegrator(1, 2, dt=0.01)
+    d = plant.x_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e6])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, plant.u_dim)
+    A, B = plant.AB(N)
+
+    psi_inv = float(norm.ppf(0.95))
+    As_u, bs_u = _soc_pair(psi_inv, 5.0, -5.0, 0.01)
+
+    def proj_u(y):
+        return project_set_convex(
+            y, As_u, bs_u, [project_soc_unit] * 2, rho=1e1, max_iter=100,
+            threshold=1e-3,
+        )
+
+    du_f, phi_f, _ = sls_admm(
+        A, B, cost, project_u=proj_u, rho_u=1e2, robust_dim=1,
+        cfg=ADMMConfig(max_iter=50, tol=1e-3, stall_tol=1e-2),
+    )
+    # adaptive from a 100x-too-small penalty reaches the same margins
+    du_a, phi_a, info = sls_admm(
+        A, B, cost, project_u=proj_u, rho_u=1e0, robust_dim=1,
+        cfg=ADMMConfig(max_iter=100, tol=1e-3, stall_tol=1e-4,
+                       adaptive_rho=True),
+    )
+    m_f = np.abs(np.asarray(du_f)) + psi_inv * 0.1 * np.abs(np.asarray(phi_f[:, 0]))
+    m_a = np.abs(np.asarray(du_a)) + psi_inv * 0.1 * np.abs(np.asarray(phi_a[:, 0]))
+    assert m_a.max() <= 5.0 + 5e-2, m_a.max()
+    np.testing.assert_allclose(m_a.max(), m_f.max(), atol=0.1)
