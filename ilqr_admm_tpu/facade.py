@@ -162,13 +162,27 @@ class _Base:
         """
         if cost_function is not None:
             return cost_function(x=x, u=u)
-        x = jnp.asarray(x)
-        xs = x.reshape(x.shape[:-2] + (self.N, self.x_dim)) if x.ndim >= 2 and x.shape[-1] == self.x_dim else x.reshape(x.shape[:-1] + (self.N, self.x_dim))
+
+        def as_stacked(arr, dim, name):
+            # stacked if the trailing two dims are exactly (N, dim);
+            # lifted if the last dim is exactly N*dim — sized rules, not
+            # the old last-dim==dim guess (which dropped the batch axis
+            # of an (batch, N*dim) lifted input whenever N*dim == dim)
+            arr = jnp.asarray(arr)
+            if arr.ndim >= 2 and arr.shape[-2:] == (self.N, dim):
+                return arr
+            if arr.shape[-1] == self.N * dim:
+                return arr.reshape(arr.shape[:-1] + (self.N, dim))
+            raise ValueError(
+                f"{name} must be stacked (..., {self.N}, {dim}) or lifted "
+                f"(..., {self.N * dim}); got shape {arr.shape}"
+            )
+
+        xs = as_stacked(x, self.x_dim, "x")
         dx = xs - self.quad_cost.xd
         c = jnp.einsum("...ti,tij,...tj->...", dx, self.quad_cost.Q, dx)
         if u is not None:
-            u = jnp.asarray(u)
-            us = u.reshape(u.shape[:-2] + (self.N, self.u_dim)) if u.ndim >= 2 and u.shape[-1] == self.u_dim else u.reshape(u.shape[:-1] + (self.N, self.u_dim))
+            us = as_stacked(u, self.u_dim, "u")
             c = c + jnp.einsum("...ti,tij,...tj->...", us, self.quad_cost.R, us)
         return c
 

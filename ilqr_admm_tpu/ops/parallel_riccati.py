@@ -202,7 +202,6 @@ def _identity_elems(prefix, d, dtype):
     return (I, z_v, z_m, z_v, z_m)
 
 
-@highest_precision
 def lqt_backward_parallel(
     A: jax.Array,
     B: jax.Array,
@@ -228,7 +227,12 @@ def lqt_backward_parallel(
     block_size=L it runs the two-level blocked scan (`_blocked_suffix_scan`):
     O(N) combines with the L sequential level-1 steps batched over the
     N/L blocks — the right shape for long horizons, where the flat scan's
-    N log N work at HIGHEST precision loses to even the sequential scan."""
+    N log N work at HIGHEST precision loses to even the sequential scan.
+
+    Jitted with (block_size, fast_inverse) static: the combinator emits
+    hundreds of small ops that eager dispatch pays one-by-one (measured
+    4x slower first call and 600x slower repeats than the jitted
+    program at N=33 on CPU)."""
     if block_size is not None and (
         isinstance(block_size, bool) or not isinstance(block_size, int) or block_size < 1
     ):
@@ -239,6 +243,17 @@ def lqt_backward_parallel(
             f"supports state dim <= 4 (got d={A.shape[-1]}); use the default "
             "LU combine for larger states"
         )
+    return _lqt_backward_parallel_impl(
+        A, B, Q, xd, R, Qr, xr, Rr, ur,
+        block_size=block_size, fast_inverse=fast_inverse,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "fast_inverse"))
+@highest_precision
+def _lqt_backward_parallel_impl(
+    A, B, Q, xd, R, Qr, xr, Rr, ur, *, block_size, fast_inverse
+) -> DPGains:
     elems, U, s = value_elements(
         A, B, Q, xd, R, Qr=Qr, xr=xr, Rr=Rr, ur=ur, fast_inverse=fast_inverse
     )
@@ -374,6 +389,7 @@ def gains_from_scanned(A, B, U, s, scanned, fast_inverse: bool = False) -> DPGai
     )
 
 
+@jax.jit
 @highest_precision
 def rollout_closed_loop_parallel(A, B, K, k, x0):
     """Closed-loop *linear* rollout via associative scan (O(log N) depth).
@@ -425,11 +441,24 @@ def ilqr_backward_parallel(
     With AL/barrier outer loops this composes into parallel dynamic
     programming for conic LQ control (PAPERS.md #4) — stagewise cones
     via the smooth outer method, time-parallel DP inside.
+
+    Jitted (see `lqt_backward_parallel`: eager dispatch of the scan
+    combinator is 4x slower to first result, 600x on repeats).
     """
     if fast_inverse and A.shape[-1] > 4:
         raise ValueError(
             f"fast_inverse=True supports state dim <= 4 (got d={A.shape[-1]})"
         )
+    return _ilqr_backward_parallel_impl(
+        A, B, Cts, cts, block_size=block_size, fast_inverse=fast_inverse
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "fast_inverse"))
+@highest_precision
+def _ilqr_backward_parallel_impl(
+    A, B, Cts, cts, *, block_size, fast_inverse
+):
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype

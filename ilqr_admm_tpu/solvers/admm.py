@@ -41,13 +41,19 @@ def _norm(x):
 
 
 def _rho_is_zero(rho) -> bool:
-    """Concrete all-zero penalty (reference-style 'off' spelling)."""
-    try:
-        import numpy as _np
+    """Concrete all-zero penalty (reference-style 'off' spelling).
 
+    A traced value cannot be proven zero, so it is treated as nonzero;
+    only the two tracer-conversion errors are interpreted that way —
+    anything else (a bad type, a ragged nested list) is a real bug in
+    the caller's rho and must surface.
+    """
+    import numpy as _np
+
+    try:
         return bool(_np.all(_np.asarray(rho) == 0))
-    except Exception:  # traced value — cannot prove zero
-        return False
+    except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
+        return False  # traced value — cannot prove zero
 
 
 def validate_constraint_blocks(project_x, rho_x, project_u, rho_u):
