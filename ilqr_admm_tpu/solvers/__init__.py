@@ -19,7 +19,7 @@ from ilqr_admm_tpu.solvers.ilqr import (
     ilqr_iterate_sls,
     ilqr_solve,
 )
-from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
+from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm, ilqr_admm_continuation
 from ilqr_admm_tpu.solvers.pd_ilqr import (
     PDILQRState,
     pd_ilqr_init,
@@ -65,6 +65,7 @@ __all__ = [
     "ilqr_iterate_sls",
     "ilqr_solve",
     "ilqr_admm",
+    "ilqr_admm_continuation",
     "isls_admm",
     "make_batched_lqt_admm",
     "make_batched_sls_admm",

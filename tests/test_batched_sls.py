@@ -13,6 +13,7 @@ from ilqr_admm_tpu.solvers.sls_admm import sls_admm
 from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
 
 
+@pytest.mark.slow
 def test_batched_sls_matches_per_instance():
     N = 40
     plant = DoubleIntegrator(1, 2, dt=1.0 / N)

@@ -38,6 +38,7 @@ def _lq_setup(nb_deriv=2, m=1, N=100, u_std=1e-2):
 
 
 class TestBoxQP:
+    @pytest.mark.slow
     def test_matches_lbfgsb(self, rng):
         from scipy.optimize import minimize
 

@@ -10,6 +10,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -23,6 +24,7 @@ def test_dryrun_multichip_subprocess():
     assert "DRYRUN_OK" in out.stdout, out.stdout + out.stderr
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_entry_compiles_subprocess():
     env = dict(os.environ)

@@ -154,6 +154,7 @@ def test_ilqr_batch_matches_dp_on_arm():
     assert abs(c_dp - c_b) < 0.05 * max(abs(c_dp), 1e-6), (c_dp, c_b)
 
 
+@pytest.mark.slow
 def test_sqrt_riccati_solves_stiff_arm_in_f32():
     """Array-form (square-root) Riccati keeps the 1e10-weight-ratio arm
     benchmark solvable in f32; the Cholesky form cannot take a step

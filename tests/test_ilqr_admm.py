@@ -145,3 +145,49 @@ def test_dp_method_matches_batch_method():
     assert abs(cb - cd) < 0.1 * max(abs(cb), 1e-9), (cb, cd)
     # both satisfy the bound
     assert float(jnp.max(jnp.abs(res_d.u_nom))) <= 6.0 + 0.1
+
+
+def test_continuation_matches_fine_rho_solution():
+    """Penalty-continuation (coarse rho -> fine rho with scaled-dual
+    transport) lands on the same constrained optimum as a long fine-rho
+    solve, in fewer total inner iterations."""
+    from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm_continuation
+
+    N = 60
+    arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N)
+    d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
+    x_std, u_std = 1e4, 1e-4
+    target = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 1.0, 0.0])
+    w = jnp.asarray([0.0] * n + [x_std] * n + [0.0, x_std, 0.0])
+    zs = jnp.stack([jnp.zeros(d), target])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.diag(w)])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, u_std, m)
+
+    x0 = arm.initial_state(jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4]))
+    u0 = jnp.ones((N, m))
+    x_nom0 = rollout_nonlinear(arm.step, x0, u0)
+
+    def proj_u(u):
+        return jnp.clip(u, -6.0, 6.0)
+
+    shared = dict(
+        quad_cost=quad, project_u=proj_u,
+        alphas=10.0 ** jnp.linspace(0.0, -5.0, 50)[:8], tol=1e-4,
+    )
+    res_fine = ilqr_admm(
+        arm.step, arm.get_AB, quad, x_nom0, u0,
+        rho_u=1e-3, max_iter=16, max_admm_iter=8, **shared,
+    )
+    res_cont = ilqr_admm_continuation(
+        arm.step, arm.get_AB, quad, x_nom0, u0,
+        phases=[
+            dict(rho_u=1e-1, max_iter=5, max_admm_iter=5),
+            dict(rho_u=1e-3, max_iter=8, max_admm_iter=8),
+        ],
+        **shared,
+    )
+    cf, cc = float(res_fine.cost), float(res_cont.cost)
+    assert abs(cf - cc) < 0.05 * max(abs(cf), 1e-9), (cf, cc)
+    assert float(jnp.max(jnp.abs(res_cont.u_nom))) <= 6.0 + 0.05

@@ -6,6 +6,7 @@ reference (pure NumPy, no autodiff)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
 from ilqr_admm_tpu.projections import project_bound
@@ -25,6 +26,7 @@ def _problem(N=40):
     return di, A, B, quad, N, d, m
 
 
+@pytest.mark.slow
 def test_implicit_grad_matches_finite_difference():
     di, A, B, quad, N, d, m = _problem()
     proj_u = lambda v, p: project_bound(v, -p, p)

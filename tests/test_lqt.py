@@ -186,6 +186,7 @@ def test_vmapped_sls_admm():
     assert float(jnp.max(jnp.abs(dus[0]))) <= float(jnp.max(jnp.abs(dus[2]))) + 1e-6
 
 
+@pytest.mark.slow
 def test_dense_cross_time_cost():
     """Batch/SLS with a cost correlating different timesteps (smoothness).
 

@@ -29,7 +29,14 @@ def _problem(rng, N, d=4, m=2):
     return A, B, Q, xd, R
 
 
-@pytest.mark.parametrize("N,nb", [(64, 8), (50, 8), (40, 16)])
+@pytest.mark.parametrize(
+    "N,nb",
+    [
+        pytest.param(64, 8, marks=pytest.mark.slow),
+        (50, 8),
+        pytest.param(40, 16, marks=pytest.mark.slow),
+    ],
+)
 def test_pallas_blocked_matches_sequential(rng, N, nb):
     """Including non-divisible N (identity padding) and nb > L."""
     A, B, Q, xd, R = _problem(rng, N)
@@ -45,6 +52,7 @@ def test_pallas_blocked_matches_sequential(rng, N, nb):
     )
 
 
+@pytest.mark.slow
 def test_pallas_blocked_with_regularizers(rng):
     A, B, Q, xd, R = _problem(rng, N=48, d=3, m=2)
     N, d = 48, 3

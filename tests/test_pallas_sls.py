@@ -32,6 +32,7 @@ def _setup(N=20):
     return A.astype(f32), B.astype(f32), cost, d, m
 
 
+@pytest.mark.slow
 def test_pallas_sls_matches_xla_path():
     N = 20
     A, B, cost, d, m = _setup(N)

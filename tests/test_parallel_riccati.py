@@ -198,6 +198,7 @@ class TestILQRBackwardParallel:
         np.testing.assert_allclose(np.asarray(K3), np.asarray(K1), atol=1e-8)
         np.testing.assert_allclose(np.asarray(k3), np.asarray(k1), atol=1e-8)
 
+    @pytest.mark.slow
     def test_ilqr_solve_riccati_parallel(self):
         # whole-solver agreement on the car parking problem
         from ilqr_admm_tpu.models.car import CarFrontWheel, CarParkingCost

@@ -81,6 +81,7 @@ def test_lq_exactness_from_infeasible_init():
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_costates_match_x0_gradient():
     """lambda_0 == d(optimal cost)/d(x0) (finite differences)."""
     plant, A, B, quad, f, get_AB, get_Cs, cost_fn, d, m, N = _lqt_setup(N=20)
