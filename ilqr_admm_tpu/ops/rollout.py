@@ -25,9 +25,13 @@ from ilqr_admm_tpu.utils.precision import highest_precision
 @highest_precision
 def rollout_linear(
     A: jax.Array, B: jax.Array, x0: jax.Array, us: jax.Array,
-    ws: Optional[jax.Array] = None,
+    ws: Optional[jax.Array] = None, unroll: int = 1,
 ) -> jax.Array:
-    """Open-loop linear rollout: returns xs (N, x_dim), xs[0] = x0."""
+    """Open-loop linear rollout: returns xs (N, x_dim), xs[0] = x0.
+
+    unroll > 1 unrolls the scan body (identical math/order; cuts the
+    ~1 us/step TPU scan-dispatch latency that dominates small-state
+    rollouts — see `rollout_nonlinear`)."""
     def step(x, inp):
         if ws is None:
             At, Bt, ut = inp
@@ -37,15 +41,21 @@ def rollout_linear(
         return At @ x + Bt @ ut + w, x
 
     xs_in = (A, B, us) if ws is None else (A, B, us, ws)
-    _, xs = lax.scan(step, x0, xs_in)
+    _, xs = lax.scan(step, x0, xs_in, unroll=unroll)
     return xs
 
 
 @highest_precision
 def rollout_nonlinear(
-    f: Callable, x0: jax.Array, us: jax.Array, ws: Optional[jax.Array] = None
+    f: Callable, x0: jax.Array, us: jax.Array, ws: Optional[jax.Array] = None,
+    unroll: int = 1,
 ) -> jax.Array:
-    """Open-loop nonlinear rollout with f(x, u) -> x_next (single sample)."""
+    """Open-loop nonlinear rollout with f(x, u) -> x_next (single sample).
+
+    unroll > 1 unrolls the scan body: bit-identical results, but the
+    per-step scan dispatch latency (~1 us on TPU) stops dominating
+    small-state rollouts — the iLQR-ADMM line-search rollouts at N=500
+    are the motivating hot path."""
     def step(x, inp):
         if ws is None:
             ut = inp
@@ -54,7 +64,7 @@ def rollout_nonlinear(
             ut, w = inp
         return f(x, ut) + w, x
 
-    _, xs = lax.scan(step, x0, us if ws is None else (us, ws))
+    _, xs = lax.scan(step, x0, us if ws is None else (us, ws), unroll=unroll)
     return xs
 
 
@@ -67,6 +77,7 @@ def rollout_closed_loop(
     x_nom: Optional[jax.Array] = None,
     u_nom: Optional[jax.Array] = None,
     ws: Optional[jax.Array] = None,
+    unroll: int = 1,
 ):
     """Per-step feedback rollout: u_t = K_t (x_t - x_nom_t) + k_t + u_nom_t.
 
@@ -89,7 +100,7 @@ def rollout_closed_loop(
         return f(x, u) + w, (x, u)
 
     xs_in = (K, k, zx, zu) if ws is None else (K, k, zx, zu, ws)
-    _, (xs, us) = lax.scan(step, x0, xs_in)
+    _, (xs, us) = lax.scan(step, x0, xs_in, unroll=unroll)
     return xs, us
 
 

@@ -30,6 +30,7 @@ def _arm_problem(N=60):
     return arm, quad
 
 
+@pytest.mark.slow
 def test_vmapped_ilqr_admm_matches_single():
     N = 60
     arm, quad = _arm_problem(N)

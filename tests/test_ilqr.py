@@ -203,6 +203,7 @@ def test_sqrt_riccati_solves_stiff_arm_in_f32():
     assert float(jnp.max(jnp.abs(K1 - K2))) / scale < 1e-8
 
 
+@pytest.mark.slow
 def test_ilqr_sls_one_step_exact_on_lq():
     """On a linear-quadratic problem, one method='sls' iteration lands on
     the LQT optimum (cross-solver oracle vs lqt_solve_batch). Completes

@@ -54,6 +54,7 @@ def test_implicit_grad_matches_finite_difference():
     np.testing.assert_allclose(float(g_b), float(fd_b), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_implicit_grad_wrt_bound_active_constraint():
     """With the bound active, d(loss)/d(bound) must be nonzero (the
     constrained solution moves with the constraint), and zero when the

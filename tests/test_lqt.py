@@ -148,6 +148,7 @@ def test_causal_trailing_solve_oracle(rng):
         np.testing.assert_allclose(out[i, :s], 0.0)
 
 
+@pytest.mark.slow
 def test_vmapped_sls_admm():
     """Robust synthesis vmaps over problem instances (scenario fleets)."""
     from ilqr_admm_tpu.problem import ADMMConfig

@@ -171,6 +171,7 @@ def test_dp_operator_form_matches_scan_form():
     np.testing.assert_allclose(np.asarray(k_o), np.asarray(k_s), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_admm_against_scipy_qp_oracle(rng):
     """Independent oracle: control-bounded LQT is a bounded least-squares
     problem; scipy.optimize.lsq_linear solves it exactly. Our ADMM (tight

@@ -33,7 +33,7 @@ def _problem(rng, N, d=4, m=2):
     "N,nb",
     [
         pytest.param(64, 8, marks=pytest.mark.slow),
-        (50, 8),
+        pytest.param(50, 8, marks=pytest.mark.slow),
         pytest.param(40, 16, marks=pytest.mark.slow),
     ],
 )

@@ -105,6 +105,7 @@ def test_costates_match_x0_gradient():
     np.testing.assert_allclose(lam0, g_fd, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_matches_single_shooting_on_car():
     """Nonlinear: same optimum as ilqr_solve, feasible AND infeasible init."""
     N = 60
