@@ -197,17 +197,32 @@ def main():
 
     x_nom_c = rollout_nonlinear(car.step, x0c, u0)
 
+    # penalty continuation (coarse rho enforces the bounds fast, fine rho
+    # converges to the tight optimum; scaled duals transported across the
+    # switch) — reaches the reference golden in f32 where a single
+    # fine-rho schedule needs ~2x the iterations. The remaining runtime
+    # is N=500 sequential-rollout latency (pipeline-bound; docs/LATENCY).
+    from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm_continuation
+
     car_admm = jax.jit(
-        lambda: ilqr_admm(
+        lambda: ilqr_admm_continuation(
             car.step, car.get_AB, ccost, x_nom_c, u0, get_Cs=ccost.get_Cs,
-            project_u=proj_uc, rho_u=jnp.diag(jnp.asarray([1e-2, 1e-3], f32)),
-            max_iter=60, max_admm_iter=8,
-            alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:40],
-            tol=1e-3, outer_tol=1e-5, osc_tol=1e-5,
+            project_u=proj_uc,
+            phases=[
+                dict(rho_u=jnp.diag(jnp.asarray([1e-1, 1e-2], f32)),
+                     max_iter=20, max_admm_iter=5,
+                     outer_tol=1e-4, osc_tol=1e-4),
+                dict(rho_u=jnp.diag(jnp.asarray([1e-2, 1e-3], f32)),
+                     max_iter=30, max_admm_iter=8,
+                     outer_tol=1e-5, osc_tol=1e-5),
+            ],
+            alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:20],
+            tol=1e-3,
         ).cost
     )
-    timed("ilqr_admm car control bounds (N=500)", 17400.0, car_admm,
-          oracle=lambda c: f"cost={float(c):.3f} (ref 1.903)", reps=2)
+    timed("ilqr_admm car control bounds (N=500, rho continuation)", 17400.0,
+          car_admm, oracle=lambda c: f"cost={float(c):.4f} (ref 1.903)",
+          reps=2)
 
     # ---- 7b. boxDDP on the same control-limited car (first-class DP
     # treatment the reference lacks; same 17.4 s ADMM reference time)

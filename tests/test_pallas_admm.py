@@ -69,6 +69,7 @@ def test_pallas_u_only_delta_converges_to_fixed_point():
     assert float(jnp.max(jnp.abs(zu))) <= 5.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_pallas_xu_matches_xla():
     N = 30
     plant, A, B, cost = _problem(N)

@@ -47,7 +47,7 @@ def test_sharded_matches_unsharded():
     assert mesh.devices.size == 8
 
     rng = np.random.default_rng(0)
-    x0s = jnp.asarray(rng.normal(0, 0.1, size=(64, d)))
+    x0s = jnp.asarray(rng.normal(0, 0.1, size=(24, d)))
     proj_u = lambda u: project_bound(u, -5.0, 5.0)
     cfg = ADMMConfig(max_iter=50, tol=1e-4)
 
@@ -137,6 +137,7 @@ def test_boxddp_fleet_sharded():
     assert float(jnp.max(jnp.abs(u_sh))) <= 5.0 + 1e-12
 
 
+@pytest.mark.slow
 def test_al_fleet_sharded():
     """AL-iLQR fleet sharded over the mesh == unsharded, all feasible."""
     from ilqr_admm_tpu.parallel.batch import batched_al_solve

@@ -29,6 +29,7 @@ def _random_lqt(rng, N=64, d=3, m=2):
     return A, B, Q, xd, R
 
 
+@pytest.mark.slow
 def test_time_sharded_matches_sequential(rng):
     mesh = make_mesh(axis_names=("time",))
     A, B, Q, xd, R = _random_lqt(rng)  # N=64 over 8 devices
