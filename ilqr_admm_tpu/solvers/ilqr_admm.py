@@ -67,6 +67,7 @@ def _ilqr_admm_impl(
     riccati: str = "chol",
     warm=None,  # optional (z_x, z_u, lmb_x, lmb_u) flattened warm start
     unroll: int = 8,
+    linesearch_rollout=None,
 ) -> ILQRADMMResult:
     """Run constrained iLQR-ADMM from a nominal trajectory guess.
 
@@ -82,6 +83,12 @@ def _ilqr_admm_impl(
     ADMM runs one N-step rollout batch per iteration, and on TPU the
     ~1 us/step scan dispatch dominates at small state dims; unroll=8 is
     bit-identical math at a fraction of the latency.
+
+    linesearch_rollout: optional fused candidate-rollout override
+    (batch method only): callable (x0 (d,), u_cands (A, N, m)) ->
+    xs (A, N, d), e.g. `ops/pallas_rollout.make_pallas_linesearch_rollout`
+    — the whole alpha batch rolled out in one VMEM-resident kernel
+    instead of a vmapped scan.
     """
     validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     if method == "dp":
@@ -144,12 +151,13 @@ def _ilqr_admm_impl(
                 add_r = add_r + Rr_l @ (u - u_nom_f)
             delta_u = cho_solve(cf, r_side + add_r).reshape(N, m)
 
-            def rollout_alpha(a):
-                us = u_nom + a * delta_u
-                xs = rollout_nonlinear(f, x_nom[0], us, unroll=unroll)
-                return xs, us
-
-            xs_c, us_c = jax.vmap(rollout_alpha)(alphas)
+            us_c = u_nom[None] + alphas[:, None, None] * delta_u[None]
+            if linesearch_rollout is not None:
+                xs_c = linesearch_rollout(x_nom[0], us_c)
+            else:
+                xs_c = jax.vmap(
+                    lambda us: rollout_nonlinear(f, x_nom[0], us, unroll=unroll)
+                )(us_c)
             costs = jax.vmap(cost_fn)(xs_c, us_c)
             costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
             # augmented-cost candidate scoring (`isls.py:470-477`) —
