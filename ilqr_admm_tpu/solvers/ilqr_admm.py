@@ -68,6 +68,7 @@ def _ilqr_admm_impl(
     warm=None,  # optional (z_x, z_u, lmb_x, lmb_u) flattened warm start
     unroll: int = 8,
     linesearch_rollout=None,
+    line_search: str = "inner",
 ) -> ILQRADMMResult:
     """Run constrained iLQR-ADMM from a nominal trajectory guess.
 
@@ -89,6 +90,18 @@ def _ilqr_admm_impl(
     xs (A, N, d), e.g. `ops/pallas_rollout.make_pallas_linesearch_rollout`
     — the whole alpha batch rolled out in one VMEM-resident kernel
     instead of a vmapped scan.
+
+    line_search ('inner' | 'outer', batch method only):
+    'inner' is the reference semantics (`isls.py:456-478`) — every inner
+    ADMM iteration rolls out the whole alpha grid and scores candidates
+    with the augmented cost. 'outer' is the SQP-style variant: the inner
+    ADMM iterates on the *linearized* trajectory prediction
+    x = x_nom + Su (u - u_nom) with NO rollouts at all (each iteration is
+    one prefactored solve + projections, exactly lqt_admm on the local
+    model), and ONE nonlinear line search per outer iteration globalizes
+    the resulting step. One rollout batch per outer step instead of
+    max_admm_iter of them — the dominant cost at long horizons, where
+    rollout latency is transcendental-chain-bound (RESULTS.md r2 study).
     """
     validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     if method == "dp":
@@ -111,6 +124,10 @@ def _ilqr_admm_impl(
     Rr_l = block_diag_stacked(Rr) if (Rr is not None and project_u is not None) else None
 
     admm_cfg = ADMMConfig(max_iter=max_admm_iter, alpha=alpha, tol=tol)
+    if line_search not in ("inner", "outer"):
+        raise ValueError(
+            f"line_search must be 'inner' or 'outer', got {line_search!r}"
+        )
 
     def outer_body(carry):
         x_nom, u_nom, cost, it, status, z_x, z_u, l_x, l_u, cost_log = carry
@@ -173,13 +190,51 @@ def _ilqr_admm_impl(
             ind = jnp.argmin(costs)
             return xs_c[ind].reshape(-1), us_c[ind].reshape(-1)
 
+        def f_argmin_lin(x, u):
+            # SQP-style x-update: solve on the linearized trajectory
+            # prediction, no rollouts (line_search='outer')
+            add_r = jnp.zeros_like(r_side)
+            if SuTQr is not None and x is not None:
+                add_r = add_r + SuTQr @ (x - x_nom_f)
+            if Rr_l is not None and u is not None:
+                add_r = add_r + Rr_l @ (u - u_nom_f)
+            delta_u = cho_solve(cf, r_side + add_r)
+            return x_nom_f + Su @ delta_u, u_nom_f + delta_u
+
         x_x, x_u, _, l_x_n, l_u_n, z_x_n, z_u_n, _info = admm_solve(
-            f_argmin, project_x, project_u, (N * d,), (N * m,), admm_cfg,
+            f_argmin if line_search == "inner" else f_argmin_lin,
+            project_x, project_u, (N * d,), (N * m,), admm_cfg,
             z_x_init=z_x, z_u_init=z_u, lmb_x_init=l_x, lmb_u_init=l_u, dtype=dtype,
         )
 
-        x_new = x_x.reshape(N, d)
-        u_new = x_u.reshape(N, m)
+        if line_search == "outer":
+            # ONE nonlinear line search per outer step globalizes the
+            # linear-model ADMM solution; candidates scored by the true
+            # cost plus penalties toward the final consensus targets
+            delta_u = (x_u - u_nom_f).reshape(N, m)
+            us_c = u_nom[None] + alphas[:, None, None] * delta_u[None]
+            if linesearch_rollout is not None:
+                xs_c = linesearch_rollout(x_nom[0], us_c)
+            else:
+                xs_c = jax.vmap(
+                    lambda us: rollout_nonlinear(f, x_nom[0], us, unroll=unroll)
+                )(us_c)
+            costs = jax.vmap(cost_fn)(xs_c, us_c)
+            costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
+            if Qr_l is not None:
+                tx = (z_x_n - l_x_n).reshape(N, d)
+                dxc = xs_c - tx[None]
+                costs = costs + jnp.einsum("ati,tij,atj->a", dxc, Qr, dxc)
+            if Rr_l is not None:
+                tu = (z_u_n - l_u_n).reshape(N, m)
+                duc = us_c - tu[None]
+                costs = costs + jnp.einsum("ati,tij,atj->a", duc, Rr, duc)
+            ind = jnp.argmin(costs)
+            x_new = xs_c[ind]
+            u_new = us_c[ind]
+        else:
+            x_new = x_x.reshape(N, d)
+            u_new = x_u.reshape(N, m)
         cost_new = cost_fn(x_new, u_new)
         cost_log = cost_log.at[it].set(cost_new)
 

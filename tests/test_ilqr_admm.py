@@ -191,3 +191,45 @@ def test_continuation_matches_fine_rho_solution():
     cf, cc = float(res_fine.cost), float(res_cont.cost)
     assert abs(cf - cc) < 0.05 * max(abs(cf), 1e-9), (cf, cc)
     assert float(jnp.max(jnp.abs(res_cont.u_nom))) <= 6.0 + 0.05
+
+
+def test_outer_line_search_matches_inner():
+    """SQP-style line_search='outer' (linear-model inner ADMM + one
+    nonlinear line search per outer step — 1 rollout batch instead of
+    max_admm_iter of them) reaches the same constrained optimum as the
+    reference-semantics inner mode."""
+    N = 60
+    arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N)
+    d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
+    x_std, u_std = 1e4, 1e-4
+    target = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 1.0, 0.0])
+    w = jnp.asarray([0.0] * n + [x_std] * n + [0.0, x_std, 0.0])
+    zs = jnp.stack([jnp.zeros(d), target])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.diag(w)])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, u_std, m)
+
+    x0 = arm.initial_state(jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4]))
+    u0 = jnp.ones((N, m))
+    x_nom0 = rollout_nonlinear(arm.step, x0, u0)
+
+    def proj_u(u):
+        return jnp.clip(u, -6.0, 6.0)
+
+    kw = dict(
+        quad_cost=quad, project_u=proj_u, rho_u=1e-3,
+        max_iter=14, max_admm_iter=8,
+        alphas=10.0 ** jnp.linspace(0.0, -5.0, 50)[:8], tol=1e-4,
+    )
+    res_i = ilqr_admm(arm.step, arm.get_AB, quad, x_nom0, u0,
+                      line_search="inner", **kw)
+    res_o = ilqr_admm(arm.step, arm.get_AB, quad, x_nom0, u0,
+                      line_search="outer", **kw)
+    ci, co = float(res_i.cost), float(res_o.cost)
+    assert abs(ci - co) < 0.05 * max(abs(ci), 1e-9), (ci, co)
+    assert float(jnp.max(jnp.abs(res_o.u_nom))) <= 6.0 + 0.05
+
+    with pytest.raises(ValueError, match="line_search"):
+        ilqr_admm(arm.step, arm.get_AB, quad, x_nom0, u0,
+                  line_search="bogus", **kw)
