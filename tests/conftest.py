@@ -20,6 +20,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the suite's long tail on a small box is XLA
+# CPU compile time (~140 jitted tests); with the cache warm a rerun skips
+# nearly all of it. Shared with benchmarks' cache dir (keys include
+# backend/flags, so CPU and TPU entries never collide).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert jax.device_count() >= 8, "tests expect an 8-device virtual CPU platform"
 
