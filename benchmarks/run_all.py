@@ -84,7 +84,13 @@ def main():
     di1 = DoubleIntegrator(1, 2, dt=0.01)
     A1, B1 = di1.AB(N)
     A1, B1 = A1.astype(f32), B1.astype(f32)
-    build = jax.jit(lambda: (build_Sw(A1), build_Su(A1, B1)))
+    # NOTE (anti-folding discipline, applies to every row): each jitted
+    # benchmark fn takes its problem data as RUNTIME ARGUMENTS. A no-arg
+    # closure jit is all-constant and XLA may fold the entire solve into
+    # the executable at compile time, turning the "measurement" into a
+    # constant fetch (observed: the arm ADMM row once "ran" in 0.05 ms,
+    # below the 26 ms dispatch floor).
+    build = jax.jit(lambda A, B: (build_Sw(A), build_Su(A, B)))
 
     # dispatch-amortized on-device build time: K data-dependent builds
     # chained inside ONE dispatch (the carry feeds the next build's
@@ -92,22 +98,23 @@ def main():
     # the ~28 ms tunnel round trip (docs/LATENCY.md)
     K_chain = 64
 
-    def _chain_body(c, _):
-        Sw = build_Sw(A1 + c)
-        Su = build_Su(A1 + c, B1)
-        return jnp.sum(Su) * jnp.asarray(1e-38, f32), Sw[0, 0]
+    def _chained(A, B):
+        def body(c, _):
+            Sw = build_Sw(A + c)
+            Su = build_Su(A + c, B)
+            return jnp.sum(Su) * jnp.asarray(1e-38, f32), Sw[0, 0]
 
-    chained = jax.jit(
-        lambda: jax.lax.scan(_chain_body, jnp.asarray(0.0, f32), None,
-                             length=K_chain)[0]
-    )
-    jax.block_until_ready(chained())
+        return jax.lax.scan(body, jnp.asarray(0.0, f32), None,
+                            length=K_chain)[0]
+
+    chained = jax.jit(_chained)
+    jax.block_until_ready(chained(A1, B1))
     t0 = time.perf_counter()
-    jax.block_until_ready(chained())
+    jax.block_until_ready(chained(A1, B1))
     per_build_ms = (time.perf_counter() - t0) / K_chain * 1e3
 
     timed(
-        "lifted operator build (N=100, d=2)", 23.0, build,
+        "lifted operator build (N=100, d=2)", 23.0, lambda: build(A1, B1),
         oracle=lambda _: (
             f"on-device {per_build_ms:.3f} ms/build dispatch-amortized "
             f"({23.0 / per_build_ms:.0f}x ref); single call is tunnel-floor"
@@ -121,9 +128,11 @@ def main():
     cost2 = di_cost(N, 4, 1e3, 1e-4, [1.0, 1.0, 0.0, 0.0])
     x0_4 = jnp.zeros(4, f32)
     both = jax.jit(
-        lambda: (lqt_solve_dp(A2, B2, cost2).K, lqt_solve_batch(A2, B2, cost2, x0_4)[1])
+        lambda A, B, x0: (lqt_solve_dp(A, B, cost2).K,
+                          lqt_solve_batch(A, B, cost2, x0)[1])
     )
-    timed("LQT solve dp+batch (N=100, d=4)", 58.0, both)
+    timed("LQT solve dp+batch (N=100, d=4)", 58.0,
+          lambda: both(A2, B2, x0_4))
 
     # ---- 3/4. ADMM_LQT control bounds (ref 51 / 172 ms)
     cost1 = di_cost(N, 2, 1e6, 1e-2, [1.0, 0.0])
@@ -131,19 +140,19 @@ def main():
     proj_u = lambda u: project_bound(u, -5.0, 5.0)
     cfg_b = ADMMConfig(max_iter=100, tol=1e-4)
     admm_b = jax.jit(
-        lambda: lqt_admm_batch(A1, B1, cost1, x0_2, project_u=proj_u, rho_u=1e-2,
-                               cfg=cfg_b, use_qr=True)[1]
+        lambda x0: lqt_admm_batch(A1, B1, cost1, x0, project_u=proj_u, rho_u=1e-2,
+                                  cfg=cfg_b, use_qr=True)[1]
     )
     u_b = timed(
-        "ADMM_LQT_Batch control bounds (QR)", 51.0, admm_b,
+        "ADMM_LQT_Batch control bounds (QR)", 51.0, lambda: admm_b(x0_2),
         oracle=lambda u: f"max|u|={float(jnp.max(jnp.abs(u))):.5f} (bound 5)",
     )
     cfg_d = ADMMConfig(max_iter=500, tol=1e-4)
     admm_d = jax.jit(
-        lambda: lqt_admm_dp(A1, B1, cost1, x0_2, project_u=proj_u, rho_u=1e-1,
-                            cfg=cfg_d)[1]
+        lambda x0: lqt_admm_dp(A1, B1, cost1, x0, project_u=proj_u, rho_u=1e-1,
+                               cfg=cfg_d)[1]
     )
-    timed("ADMM_LQT_DP control bounds", 172.0, admm_d,
+    timed("ADMM_LQT_DP control bounds", 172.0, lambda: admm_d(x0_2),
           oracle=lambda u: f"max|u|={float(jnp.max(jnp.abs(u))):.4f}")
 
     # ---- 5. robust SLS-ADMM control bounds (ref 207 ms)
@@ -164,11 +173,11 @@ def main():
                                   max_iter=100, threshold=1e-3)
 
     sls_fn = jax.jit(
-        lambda: sls_admm(A1, B1, cost1, project_u=proj_u_rob, rho_u=1e2,
-                         robust_dim=1,
-                         cfg=ADMMConfig(max_iter=50, tol=1e-3, stall_tol=1e-2))[0]
+        lambda A, B: sls_admm(A, B, cost1, project_u=proj_u_rob, rho_u=1e2,
+                              robust_dim=1,
+                              cfg=ADMMConfig(max_iter=50, tol=1e-3, stall_tol=1e-2))[0]
     )
-    timed("ADMM_SLS robust control bounds", 207.0, sls_fn)
+    timed("ADMM_SLS robust control bounds", 207.0, lambda: sls_fn(A1, B1))
 
     # ---- 6. iLQR car parking, N=500 (ref 3580 ms)
     Ncar = 500
@@ -179,13 +188,13 @@ def main():
     x0c = jnp.asarray([1.0, 1.0, 3 * np.pi / 2, 0.0], f32)
     cfg_i = ILQRConfig(max_iter=100, max_line_search_iter=40)
 
-    def car_solve():
+    def car_solve(x0_, u0_):
         with jax.default_matmul_precision("highest"):
-            s0 = ilqr_init(car.step, ccost, x0c, u0)
+            s0 = ilqr_init(car.step, ccost, x0_, u0_)
             return ilqr_solve(car.step, car.get_AB, ccost.get_Cs, ccost, s0, cfg_i).cost
 
     car_fn = jax.jit(car_solve)
-    timed("iLQR car parking (N=500)", 3580.0, car_fn,
+    timed("iLQR car parking (N=500)", 3580.0, lambda: car_fn(x0c, u0),
           oracle=lambda c: f"cost={float(c):.4f} (ref 0.9283)", reps=2)
 
     # ---- 7. ilqr_admm car control bounds (ref 17400 ms)
@@ -197,32 +206,26 @@ def main():
 
     x_nom_c = rollout_nonlinear(car.step, x0c, u0)
 
-    # penalty continuation (coarse rho enforces the bounds fast, fine rho
-    # converges to the tight optimum; scaled duals transported across the
-    # switch) — reaches the reference golden in f32 where a single
-    # fine-rho schedule needs ~2x the iterations. The remaining runtime
-    # is N=500 sequential-rollout latency (pipeline-bound; docs/LATENCY).
-    from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm_continuation
-
+    # SQP-style outer line search (bench_outer_ls.py study): the inner
+    # ADMM iterates on the linearized prediction with zero rollouts (one
+    # explicit-inverse GEMV per iteration), and ONE nonlinear rollout
+    # batch per outer step globalizes the result. Dominates both the r1
+    # inner-mode schedule and the rho-continuation variant on every axis
+    # (TPU: 108 ms / cost 1.9054 / max_viol 6e-6 vs 154 ms / 1.9099 /
+    # 1.1e-3).
     car_admm = jax.jit(
-        lambda: ilqr_admm_continuation(
-            car.step, car.get_AB, ccost, x_nom_c, u0, get_Cs=ccost.get_Cs,
-            project_u=proj_uc,
-            phases=[
-                dict(rho_u=jnp.diag(jnp.asarray([1e-1, 1e-2], f32)),
-                     max_iter=20, max_admm_iter=5,
-                     outer_tol=1e-4, osc_tol=1e-4),
-                dict(rho_u=jnp.diag(jnp.asarray([1e-2, 1e-3], f32)),
-                     max_iter=30, max_admm_iter=8,
-                     outer_tol=1e-5, osc_tol=1e-5),
-            ],
+        lambda xn, u: ilqr_admm(
+            car.step, car.get_AB, ccost, xn, u, get_Cs=ccost.get_Cs,
+            project_u=proj_uc, line_search="outer",
+            rho_u=jnp.diag(jnp.asarray([1e-2, 1e-3], f32)),
+            max_iter=60, max_admm_iter=30,
             alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:20],
-            tol=1e-3,
+            tol=1e-3, outer_tol=1e-5, osc_tol=1e-5,
         ).cost
     )
-    timed("ilqr_admm car control bounds (N=500, rho continuation)", 17400.0,
-          car_admm, oracle=lambda c: f"cost={float(c):.4f} (ref 1.903)",
-          reps=2)
+    timed("ilqr_admm car control bounds (N=500, SQP outer line search)",
+          17400.0, lambda: car_admm(x_nom_c, u0),
+          oracle=lambda c: f"cost={float(c):.4f} (ref 1.903)", reps=2)
 
     # ---- 7b. boxDDP on the same control-limited car (first-class DP
     # treatment the reference lacks; same 17.4 s ADMM reference time)
@@ -230,14 +233,15 @@ def main():
     from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
 
     car_box = jax.jit(
-        lambda: boxddp_solve(
+        lambda x0_, u0_: boxddp_solve(
             car.step, car.get_AB, ccost.get_Cs, ccost,
-            boxddp_init(car.step, ccost, x0c, u0, lo, hi),
+            boxddp_init(car.step, ccost, x0_, u0_, lo, hi),
             u_lower=lo, u_upper=hi,
             cfg=ILQRConfig(max_iter=60, tol_fun=1e-6),
         ).cost
     )
-    timed("boxDDP car control bounds (N=500)", 17400.0, car_box,
+    timed("boxDDP car control bounds (N=500)", 17400.0,
+          lambda: car_box(x0c, u0),
           oracle=lambda c: f"cost={float(c):.3f} (ref ADMM 1.903), exact bounds",
           reps=2)
 
@@ -260,14 +264,16 @@ def main():
     def get_Cs_a(xs, us):
         return quad_cost_model(aquad.Q, aquad.xd, aquad.R, xs, us)
 
-    def arm_solve():
+    def arm_solve(x0_, u0_):
         with jax.default_matmul_precision("highest"):
-            s0 = ilqr_init(arm.step, aquad, x0a, u0a)
+            s0 = ilqr_init(arm.step, aquad, x0_, u0_)
             return ilqr_solve(arm.step, arm.get_AB, get_Cs_a, aquad, s0,
                               ILQRConfig(max_iter=30, max_line_search_iter=20),
                               riccati="sqrt").cost
 
-    timed("iLQR 3DoF arm (N=100, sqrt Riccati, f32)", 131.0, jax.jit(arm_solve),
+    arm_fn = jax.jit(arm_solve)
+    timed("iLQR 3DoF arm (N=100, sqrt Riccati, f32)", 131.0,
+          lambda: arm_fn(x0a, u0a),
           oracle=lambda c: f"cost={float(c):.4f} (f64 truth 0.047; ref 0.118)")
 
     # ---- 9. ilqr_admm 3DoF arm (ref 639 ms)
@@ -288,8 +294,8 @@ def main():
         rho_xa[t, n : 2 * n, n : 2 * n] = np.eye(n) * 1e-2
 
     arm_admm = jax.jit(
-        lambda: ilqr_admm(
-            arm.step, arm.get_AB, aquad, x_nom_a, u0a, quad_cost=aquad,
+        lambda xn, u: ilqr_admm(
+            arm.step, arm.get_AB, aquad, xn, u, quad_cost=aquad,
             project_x=proj_xa, project_u=proj_ua,
             rho_x=jnp.asarray(rho_xa), rho_u=1e-3,
             max_iter=20, max_admm_iter=10,
@@ -297,7 +303,8 @@ def main():
             tol=1e-4, method="dp", riccati="sqrt",
         ).cost
     )
-    timed("ilqr_admm 3DoF arm state+control (sqrt Riccati, f32)", 639.0, arm_admm,
+    timed("ilqr_admm 3DoF arm state+control (sqrt Riccati, f32)", 639.0,
+          lambda: arm_admm(x_nom_a, u0a),
           oracle=lambda c: f"cost={float(c):.4f} (ref 0.1996)")
 
     # ---- 10. batched throughput headline (no single-instance reference)

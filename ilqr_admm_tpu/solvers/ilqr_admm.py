@@ -190,6 +190,17 @@ def _ilqr_admm_impl(
             ind = jnp.argmin(costs)
             return xs_c[ind].reshape(-1), us_c[ind].reshape(-1)
 
+        if line_search == "outer":
+            # Explicit inverse instead of per-iteration cho_solve: the
+            # inner ADMM runs many rollout-free iterations whose only
+            # heavy op is this solve, and a pair of serial triangular
+            # solves (single RHS) maps poorly onto the MXU where one
+            # one-time multi-RHS solve + a GEMV per iteration is cheap.
+            # l_side is rho-regularized SPD and traced under HIGHEST, so
+            # the explicit inverse is accurate here (TPU f32 matches the
+            # CPU f64 oracle to 4 digits, bench_outer_ls.py).
+            Minv = cho_solve(cf, jnp.eye(N * m, dtype=dtype))
+
         def f_argmin_lin(x, u):
             # SQP-style x-update: solve on the linearized trajectory
             # prediction, no rollouts (line_search='outer')
@@ -198,7 +209,7 @@ def _ilqr_admm_impl(
                 add_r = add_r + SuTQr @ (x - x_nom_f)
             if Rr_l is not None and u is not None:
                 add_r = add_r + Rr_l @ (u - u_nom_f)
-            delta_u = cho_solve(cf, r_side + add_r)
+            delta_u = Minv @ (r_side + add_r)
             return x_nom_f + Su @ delta_u, u_nom_f + delta_u
 
         x_x, x_u, _, l_x_n, l_u_n, z_x_n, z_u_n, _info = admm_solve(

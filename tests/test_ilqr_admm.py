@@ -53,6 +53,27 @@ def test_car_control_bounds():
     # constrained cost must exceed the unconstrained optimum (~0.93)
     assert float(res.cost) > 0.9
 
+    # SQP outer line search on the same problem: the HEADTOHEAD config
+    # (bench_outer_ls.py variant D) — tighter golden AND tighter
+    # feasibility than the inner mode (measured CPU f64: cost 1.9056,
+    # max violation 6e-6; TPU f32: 1.9054 / 6e-6)
+    res_o = ilqr_admm(
+        car.step, car.get_AB, cost, x_nom0, u0,
+        get_Cs=cost.get_Cs, project_u=proj_u, line_search="outer",
+        rho_u=jnp.diag(jnp.asarray([1e-2, 1e-3])),
+        max_iter=120, max_admm_iter=30,
+        alphas=10.0 ** jnp.linspace(0.0, -5.0, 50)[:20],
+        tol=1e-3, outer_tol=1e-5, osc_tol=1e-5,
+    )
+    # converged (not iteration-capped): this init needs ~84 outer steps
+    from ilqr_admm_tpu.problem import SolveStatus
+    assert int(res_o.status) == int(SolveStatus.CONVERGED), int(res_o.status)
+    us_o = np.asarray(res_o.u_nom)
+    assert us_o[:, 0].max() <= 0.5 + 3e-4 and us_o[:, 0].min() >= -0.5 - 3e-4
+    assert us_o[:, 1].max() <= 2.0 + 3e-4 and us_o[:, 1].min() >= -2.0 - 3e-4
+    assert float(res_o.cost) < 1.907, float(res_o.cost)
+    assert float(res_o.cost) > 0.9
+
 
 def test_arm_state_control_bounds():
     N = 100
