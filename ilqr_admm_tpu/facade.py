@@ -802,12 +802,19 @@ class iSLS(_Base):
         max_iter=20, max_line_search_iter=20, max_admm_iter=20, rho_x=None,
         rho_u=None, alpha=1.0, tol=1e-3, verbose=False, log=False,
         k_max=None, threshold=None, max_line_search=None,
-        method="batch", riccati="chol",
+        method="batch", riccati="chol", line_search="inner",
     ):
         """Constrained iLQR-ADMM (reference `isls.py:379-501`).
 
         Accepts both current and notebook-era keyword spellings
         (`k_max`/`threshold`/`max_line_search`).
+
+        line_search='outer' (batch method only) selects the SQP-style
+        variant: the inner ADMM iterates on the linearized trajectory
+        prediction with no rollouts, and one nonlinear line search per
+        outer step globalizes the result — the fastest-at-golden-quality
+        configuration on the control-limited car benchmark
+        (benchmarks/bench_outer_ls.py).
         """
         max_iter = k_max if k_max is not None else max_iter
         tol = threshold if threshold is not None else tol
@@ -824,7 +831,7 @@ class iSLS(_Base):
             project_x=project_x or None, project_u=project_u or None,
             rho_x=rho_x, rho_u=rho_u, max_iter=max_iter,
             max_admm_iter=max_admm_iter, alphas=alphas, alpha=alpha, tol=tol,
-            method=method, riccati=riccati,
+            method=method, riccati=riccati, line_search=line_search,
         )
         self.x_nom, self.u_nom = res.x_nom, res.u_nom
         # store the linearization at the solution (see solve())

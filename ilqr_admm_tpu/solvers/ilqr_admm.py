@@ -104,7 +104,16 @@ def _ilqr_admm_impl(
     rollout latency is transcendental-chain-bound (RESULTS.md r2 study).
     """
     validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
+    if line_search not in ("inner", "outer"):
+        raise ValueError(
+            f"line_search must be 'inner' or 'outer', got {line_search!r}"
+        )
     if method == "dp":
+        if line_search != "inner":
+            raise ValueError(
+                "line_search='outer' is only supported with method='batch' "
+                "(the dp x-update's line search is closed-loop by design)"
+            )
         return _ilqr_admm_dp(
             f, get_AB, cost_fn, x_nom0, u_nom0, get_Cs, quad_cost,
             project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
@@ -124,10 +133,6 @@ def _ilqr_admm_impl(
     Rr_l = block_diag_stacked(Rr) if (Rr is not None and project_u is not None) else None
 
     admm_cfg = ADMMConfig(max_iter=max_admm_iter, alpha=alpha, tol=tol)
-    if line_search not in ("inner", "outer"):
-        raise ValueError(
-            f"line_search must be 'inner' or 'outer', got {line_search!r}"
-        )
 
     def outer_body(carry):
         x_nom, u_nom, cost, it, status, z_x, z_u, l_x, l_u, cost_log = carry
