@@ -142,17 +142,23 @@ def main():
     assert max_violation == 0.0, f"infeasible z-iterate: {max_violation}"
     assert cost_gap_med <= 1e-4, f"median cost gap {cost_gap_med} > 1e-4"
 
-    # steady-state throughput: pipeline K solves per timing window so the
-    # host->device dispatch round trip (~26 ms through the axon tunnel —
-    # larger than the kernel itself) amortizes away; best-of windows
+    # steady-state throughput: pipeline K solves per timing window so
+    # per-dispatch gaps amortize away; the window is terminated by a
+    # scalar READBACK of the final solve (in-order execution guarantees
+    # all K completed) because block_until_ready can return before
+    # remote work finishes on the tunnel backend (measured: the two
+    # methods agree here, 805 vs 810M it/s at K=100, but readback is the
+    # defensible one). The readback channel is already warm — the
+    # certificate section above pulled arrays to host. Best-of windows
     # guards against tunnel/device contention spikes.
-    K = 20
+    K = 100
     reps = 3
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = [solve(x0s)[1] for _ in range(K)]
-        jax.block_until_ready(outs)
+        for _ in range(K):
+            u_last = solve(x0s)[1]
+        _ = float(u_last[0, 0])
         times.append((time.perf_counter() - t0) / K)
     dt = min(times)
 
