@@ -30,15 +30,27 @@ import jax.numpy as jnp
 RESULTS = []
 
 
+def _readback(out):
+    """Force completion by pulling one scalar of the result to host.
+
+    block_until_ready can return before remote work completes on the
+    tunnel backend; an element readback cannot (in-order execution means
+    the whole computation finished). Costs one ~30 ms RTT — included in
+    the reported wall time, which is therefore conservative for rows
+    cheaper than the RTT (the reference laptop numbers have no RTT)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def timed(name, ref_ms, fn, oracle=None, reps=3):
     """Warmup + best-of timing; records (ours_ms, ref_ms, oracle note)."""
     out = fn()
-    jax.block_until_ready(out)
+    _readback(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        _readback(out)
         ts.append(time.perf_counter() - t0)
     ms = min(ts) * 1e3
     note = oracle(out) if oracle else ""
@@ -94,9 +106,9 @@ def main():
 
     # dispatch-amortized on-device build time: K data-dependent builds
     # chained inside ONE dispatch (the carry feeds the next build's
-    # operand so XLA cannot CSE them away); isolates kernel time from
-    # the ~28 ms tunnel round trip (docs/LATENCY.md)
-    K_chain = 64
+    # operand so XLA cannot CSE them away); K large enough that the
+    # ~30 ms readback RTT is <10% of the window
+    K_chain = 1024
 
     def _chained(A, B):
         def body(c, _):
@@ -108,16 +120,17 @@ def main():
                             length=K_chain)[0]
 
     chained = jax.jit(_chained)
-    jax.block_until_ready(chained(A1, B1))
+    # warm the compile AND the readback channel (first D2H is minutes)
+    float(chained(A1, B1))
     t0 = time.perf_counter()
-    jax.block_until_ready(chained(A1, B1))
+    float(chained(A1, B1))
     per_build_ms = (time.perf_counter() - t0) / K_chain * 1e3
 
     timed(
         "lifted operator build (N=100, d=2)", 23.0, lambda: build(A1, B1),
         oracle=lambda _: (
             f"on-device {per_build_ms:.3f} ms/build dispatch-amortized "
-            f"({23.0 / per_build_ms:.0f}x ref); single call is tunnel-floor"
+            f"({23.0 / per_build_ms:.0f}x ref); single call is RTT-bound"
         ),
     )
 
@@ -326,13 +339,15 @@ def main():
         "# Head-to-head vs BASELINE.md (single-instance wall clock)",
         "",
         f"Backend: {backend}. Reference times: author's laptop NumPy "
-        "(BASELINE.md). Every timing includes a ~27 ms blocking-dispatch "
-        "floor (per-call synchronization through the remote tunnel — NOT "
-        "kernel time; see docs/LATENCY.md for the measured breakdown and "
-        "mitigations). On-device compute is far below it, and batched "
-        "throughput (RESULTS.md) is the headline metric. The one row whose "
-        "reference time sits below the floor (lifted build) carries its "
-        "dispatch-amortized on-device time in the oracle column.",
+        "(BASELINE.md). Timings are readback-terminated: each call's "
+        "window closes only when a result scalar lands on the host, so "
+        "every row pays one ~30 ms host-device RTT through the remote "
+        "tunnel that the reference laptop numbers do not (conservative "
+        "for rows cheaper than the RTT; see docs/LATENCY.md). Batched "
+        "throughput (RESULTS.md, bench.py) is the headline metric. The "
+        "one row whose reference time sits below the RTT (lifted build) "
+        "carries its dispatch-amortized on-device time in the oracle "
+        "column.",
         "",
         "| Benchmark | ours (ms) | reference (ms) | speedup | oracle |",
         "|---|---|---|---|---|",
