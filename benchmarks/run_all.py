@@ -204,10 +204,14 @@ def main():
     def car_solve(x0_, u0_):
         with jax.default_matmul_precision("highest"):
             s0 = ilqr_init(car.step, ccost, x0_, u0_)
-            return ilqr_solve(car.step, car.get_AB, ccost.get_Cs, ccost, s0, cfg_i).cost
+            # time-parallel backward pass: 146 vs 187 ms at identical
+            # cost (bench_car_parallel_riccati.py)
+            return ilqr_solve(car.step, car.get_AB, ccost.get_Cs, ccost,
+                              s0, cfg_i, riccati="parallel").cost
 
     car_fn = jax.jit(car_solve)
-    timed("iLQR car parking (N=500)", 3580.0, lambda: car_fn(x0c, u0),
+    timed("iLQR car parking (N=500, parallel Riccati)", 3580.0,
+          lambda: car_fn(x0c, u0),
           oracle=lambda c: f"cost={float(c):.4f} (ref 0.9283)", reps=2)
 
     # ---- 7. ilqr_admm car control bounds (ref 17400 ms)
