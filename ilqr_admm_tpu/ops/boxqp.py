@@ -18,8 +18,11 @@ backtracking grid — all fixed shape; no data-dependent control flow.
 
 from __future__ import annotations
 
+import itertools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ilqr_admm_tpu.utils.precision import highest_precision
@@ -89,3 +92,50 @@ def boxqp(H, g, lb, ub, u0=None, n_iters: int = 12, eps: float = 1e-9):
     grad = H @ u + g
     free = ~clamped_mask(u, grad)
     return u, free
+
+
+@highest_precision
+def boxqp_enum(H, g, lb, ub, eps: float = 1e-7):
+    """EXACT small box QP by KKT active-set enumeration.
+
+    Every dimension is free, clamped-at-lb, or clamped-at-ub: 3^m cases.
+    Each case is one masked solve on the free subspace plus a KKT check
+    (free solution inside the box; clamped gradients pointing outward);
+    the strictly convex objective makes the KKT-consistent case the
+    unique optimum, selected branchlessly by masked argmin. All cases
+    evaluate as ONE batched step — on TPU this beats projected Newton's
+    sequential iteration chain for small m (the boxDDP stage regime),
+    and the answer is exact rather than iteratively approximate.
+
+    Returns (u, free_mask) with `boxqp`-compatible semantics.
+    """
+    mdim = H.shape[-1]
+    dtype = H.dtype
+    lb = jnp.broadcast_to(jnp.asarray(lb, dtype), (mdim,))
+    ub = jnp.broadcast_to(jnp.asarray(ub, dtype), (mdim,))
+
+    combos = np.asarray(
+        list(itertools.product((0, 1, 2), repeat=mdim)), dtype=np.int32
+    )  # (3^m, m): 0 = free, 1 = at lb, 2 = at ub
+    F = jnp.asarray(combos == 0)  # (K, m) free masks
+    u_c = jnp.where(combos == 1, lb[None], 0.0) + jnp.where(
+        combos == 2, ub[None], 0.0
+    )
+    u_c = u_c.astype(dtype)
+
+    rhs = -(g[None] + u_c @ H.T)  # (K, m); H symmetric
+    u_f = jax.vmap(_masked_solve, in_axes=(None, 0, 0))(H, F, rhs)
+    Ff = F.astype(dtype)
+    u = u_f * Ff + u_c * (1.0 - Ff)
+
+    grad = u @ H.T + g[None]
+    ok_free = jnp.where(F, (u >= lb[None] - eps) & (u <= ub[None] + eps), True)
+    ok_lo = jnp.where(combos == 1, grad >= -eps, True)
+    ok_hi = jnp.where(combos == 2, grad <= eps, True)
+    feas = jnp.all(ok_free & ok_lo & ok_hi, axis=-1)
+
+    obj = 0.5 * jnp.einsum("ki,ij,kj->k", u, H, u) + u @ g
+    obj = jnp.where(feas, obj, jnp.inf)
+    best = jnp.argmin(obj)
+    u_best = jnp.clip(u[best], lb, ub)
+    return u_best, F[best]

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ilqr_admm_tpu.ops.boxqp import boxqp, _masked_solve
+from ilqr_admm_tpu.ops.boxqp import boxqp, boxqp_enum, _masked_solve
 from ilqr_admm_tpu.utils.precision import highest_precision
 
 
@@ -42,6 +42,7 @@ def ilqr_backward_box(
     u_upper,
     reg: float | jax.Array = 0.0,
     qp_iters: int = 12,
+    qp_method: str = "auto",
 ):
     """boxDDP backward pass: per-stage box-QP feedforward + free-subspace
     feedback.
@@ -51,12 +52,23 @@ def ilqr_backward_box(
     u_upper - u_nom_t]. Returns (K (N,u,x), k (N,u)) with zero final-step
     gains; forward rollouts must clip u into [u_lower, u_upper]
     (`rollout_closed_loop_clipped`).
+
+    qp_method: 'enum' solves each stage QP exactly by 3^m active-set
+    enumeration in one batched step (`ops/boxqp.py::boxqp_enum`);
+    'newton' runs `qp_iters` projected-Newton iterations; 'auto'
+    (default) picks 'enum' for m <= 3 — on TPU the sequential Newton
+    chain is the stage latency, and enumeration replaces it with one
+    vectorized solve batch.
     """
+    if qp_method not in ("auto", "enum", "newton"):
+        raise ValueError(f"qp_method must be auto|enum|newton, got {qp_method!r}")
     d = A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype
     lo = jnp.broadcast_to(jnp.asarray(u_lower, dtype), (m,))
     hi = jnp.broadcast_to(jnp.asarray(u_upper, dtype), (m,))
+
+    use_enum = qp_method == "enum" or (qp_method == "auto" and m <= 3)
 
     V_term = Cts[-1][:d, :d]
     v_term = cts[-1][:d]
@@ -76,7 +88,10 @@ def ilqr_backward_box(
         Qux = Cux + Bt.T @ V @ At
         Quu = _sym(Cuu + Bt.T @ V @ Bt + reg * jnp.eye(m, dtype=dtype))
 
-        kt, free = boxqp(Quu, qu, lo - ut, hi - ut, n_iters=qp_iters)
+        if use_enum:
+            kt, free = boxqp_enum(Quu, qu, lo - ut, hi - ut)
+        else:
+            kt, free = boxqp(Quu, qu, lo - ut, hi - ut, n_iters=qp_iters)
         Kt = _masked_solve(Quu, free, -Qux)
 
         V_new = Qxx + Qux.T @ Kt + Kt.T @ Qux + Kt.T @ Quu @ Kt

@@ -54,12 +54,14 @@ def boxddp_iterate(
     u_upper,
     reg: float = 0.0,
     qp_iters: int = 12,
+    qp_method: str = "auto",
 ):
     """One boxDDP iteration: box-QP backward pass + clipped line search."""
     A, B = get_AB(state.x_nom, state.u_nom)
     cts, Cts = get_Cs(state.x_nom, state.u_nom)
     K, k = ilqr_backward_box(
-        A, B, Cts, cts, state.u_nom, u_lower, u_upper, reg=reg, qp_iters=qp_iters
+        A, B, Cts, cts, state.u_nom, u_lower, u_upper, reg=reg,
+        qp_iters=qp_iters, qp_method=qp_method,
     )
 
     def rollout_alpha(alpha):
@@ -85,6 +87,7 @@ def boxddp_solve(
     cfg: ILQRConfig = ILQRConfig(),
     reg: float = 0.0,
     qp_iters: int = 12,
+    qp_method: str = "auto",
 ) -> ILQRState:
     """Full boxDDP solve as a jittable while_loop (vmaps over instances).
 
@@ -103,6 +106,7 @@ def boxddp_solve(
         new_state, accept, _ = boxddp_iterate(
             f, get_AB, get_Cs, cost_fn, state, alphas,
             u_lower, u_upper, reg=reg, qp_iters=qp_iters,
+            qp_method=qp_method,
         )
         dcost = jnp.abs(new_state.cost - new_state.prev_cost)
         status = jnp.where(

@@ -244,3 +244,66 @@ class TestFacade:
         assert float(jnp.max(jnp.abs(out2.u_nom))) <= 5.0
         # facade paths agree with each other
         assert abs(float(out2.cost) - float(out.cost)) < 1e-2 * max(1.0, float(out.cost))
+
+
+class TestBoxQPEnum:
+    def test_enum_matches_projected_newton_and_oracle(self, rng):
+        """boxqp_enum (exact 3^m KKT enumeration) vs projected Newton vs
+        scipy L-BFGS-B on random strictly convex problems, m in {1,2,3}."""
+        from scipy.optimize import minimize
+
+        from ilqr_admm_tpu.ops.boxqp import boxqp, boxqp_enum
+
+        for m in (1, 2, 3):
+            for trial in range(25):
+                Q = rng.normal(size=(m, m))
+                H = Q @ Q.T + np.eye(m) * 0.1
+                g = rng.normal(size=m) * 2.0
+                lb = -np.abs(rng.normal(size=m)) - 0.05
+                ub = np.abs(rng.normal(size=m)) + 0.05
+
+                u_e, free_e = boxqp_enum(
+                    jnp.asarray(H), jnp.asarray(g), jnp.asarray(lb), jnp.asarray(ub)
+                )
+                u_n, _ = boxqp(
+                    jnp.asarray(H), jnp.asarray(g), jnp.asarray(lb), jnp.asarray(ub)
+                )
+                obj = lambda u: 0.5 * u @ H @ u + g @ u
+                res = minimize(
+                    obj, np.clip(np.zeros(m), lb, ub), jac=lambda u: H @ u + g,
+                    method="L-BFGS-B", bounds=list(zip(lb, ub)),
+                    options={"ftol": 1e-15, "gtol": 1e-12},
+                )
+                u_e = np.asarray(u_e)
+                # feasible
+                assert (u_e >= lb - 1e-9).all() and (u_e <= ub + 1e-9).all()
+                # exact optimum: matches (or beats) both references
+                assert obj(u_e) <= res.fun + 1e-8, (m, trial, obj(u_e), res.fun)
+                assert obj(u_e) <= obj(np.asarray(u_n)) + 1e-8
+                assert np.allclose(u_e, res.x, atol=1e-6), (m, trial, u_e, res.x)
+                # free mask consistent with the solution's active set
+                at_bound = (u_e <= lb + 1e-7) | (u_e >= ub - 1e-7)
+                assert not np.any(np.asarray(free_e) & at_bound & (np.abs(H @ u_e + g) > 1e-6))
+
+    def test_backward_box_enum_matches_newton(self, rng):
+        """ilqr_backward_box gains agree between qp_method='enum' and
+        'newton' on a random LQ problem with active bounds."""
+        from ilqr_admm_tpu.ops.constrained_riccati import ilqr_backward_box
+
+        N, d, m = 12, 3, 2
+        A = jnp.asarray(np.eye(d) + rng.normal(size=(N, d, d)) * 0.03)
+        B = jnp.asarray(rng.normal(size=(N, d, m)) * 0.2)
+        Cts = np.zeros((N, d + m, d + m))
+        for t in range(N):
+            Qx = rng.normal(size=(d, d)) * 0.1
+            Cts[t, :d, :d] = Qx @ Qx.T + np.eye(d) * 0.5
+            Cts[t, d:, d:] = np.eye(m) * 0.2
+        cts = rng.normal(size=(N, d + m))
+        u_nom = jnp.asarray(rng.normal(size=(N, m)) * 0.5)
+        args = (A, B, jnp.asarray(Cts), jnp.asarray(cts), u_nom, -0.4, 0.4)
+        K_e, k_e = ilqr_backward_box(*args, qp_method="enum")
+        K_n, k_n = ilqr_backward_box(*args, qp_method="newton", qp_iters=40)
+        assert np.allclose(np.asarray(k_e), np.asarray(k_n), atol=1e-5), (
+            np.abs(np.asarray(k_e) - np.asarray(k_n)).max()
+        )
+        assert np.allclose(np.asarray(K_e), np.asarray(K_n), atol=1e-4)
