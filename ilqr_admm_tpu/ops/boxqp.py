@@ -108,6 +108,13 @@ def boxqp_enum(H, g, lb, ub, eps: float = 1e-7):
     and the answer is exact rather than iteratively approximate.
 
     Returns (u, free_mask) with `boxqp`-compatible semantics.
+
+    `eps` is scale-relative: the KKT/box tests use
+    `eps * (1 + max|g| + max|H|)` so f32 roundoff on ill-scaled Quu
+    (the 'auto' m<=3 path of ilqr_backward_box runs this in f32 on TPU)
+    cannot reject every combo. If roundoff still rejects all 3^m cases,
+    the fallback is the best *clipped* candidate by objective value —
+    never a silent combo-0 (all-free) pick.
     """
     mdim = H.shape[-1]
     dtype = H.dtype
@@ -128,14 +135,18 @@ def boxqp_enum(H, g, lb, ub, eps: float = 1e-7):
     Ff = F.astype(dtype)
     u = u_f * Ff + u_c * (1.0 - Ff)
 
+    scale = 1.0 + jnp.max(jnp.abs(g)) + jnp.max(jnp.abs(H))
+    tol = jnp.asarray(eps, dtype) * scale.astype(dtype)
     grad = u @ H.T + g[None]
-    ok_free = jnp.where(F, (u >= lb[None] - eps) & (u <= ub[None] + eps), True)
-    ok_lo = jnp.where(combos == 1, grad >= -eps, True)
-    ok_hi = jnp.where(combos == 2, grad <= eps, True)
+    ok_free = jnp.where(F, (u >= lb[None] - tol) & (u <= ub[None] + tol), True)
+    ok_lo = jnp.where(combos == 1, grad >= -tol, True)
+    ok_hi = jnp.where(combos == 2, grad <= tol, True)
     feas = jnp.all(ok_free & ok_lo & ok_hi, axis=-1)
 
-    obj = 0.5 * jnp.einsum("ki,ij,kj->k", u, H, u) + u @ g
-    obj = jnp.where(feas, obj, jnp.inf)
-    best = jnp.argmin(obj)
-    u_best = jnp.clip(u[best], lb, ub)
-    return u_best, F[best]
+    u_clip = jnp.clip(u, lb[None], ub[None])
+    obj_clip = 0.5 * jnp.einsum("ki,ij,kj->k", u_clip, H, u_clip) + u_clip @ g
+    obj = jnp.where(feas, obj_clip, jnp.inf)
+    # roundoff fallback: if no combo passes KKT, take the best clipped
+    # candidate by objective instead of silently landing on combo 0
+    best = jnp.where(jnp.any(feas), jnp.argmin(obj), jnp.argmin(obj_clip))
+    return u_clip[best], F[best]

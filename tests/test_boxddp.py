@@ -285,6 +285,44 @@ class TestBoxQPEnum:
                 at_bound = (u_e <= lb + 1e-7) | (u_e >= ub - 1e-7)
                 assert not np.any(np.asarray(free_e) & at_bound & (np.abs(H @ u_e + g) > 1e-6))
 
+    def test_enum_f32_ill_scaled(self, rng):
+        """boxqp_enum in f32 at realistic (ill-scaled) Quu magnitudes.
+
+        ADVICE r2: an absolute eps=1e-7 KKT tolerance in f32 can reject
+        every combo on large-magnitude Quu/gradients (arm-benchmark
+        scales, x_std up to 1e6 weights), silently falling back to the
+        all-free combo. The tolerance is now scale-relative; this pins
+        that the f32 result stays feasible and within f32-roundoff
+        objective distance of the f64 oracle across 4 decades of scale.
+        """
+        from ilqr_admm_tpu.ops.boxqp import boxqp_enum
+
+        for scale in (1.0, 1e2, 1e4, 1e6):
+            for m in (1, 2, 3):
+                for trial in range(10):
+                    Q = rng.normal(size=(m, m))
+                    H64 = (Q @ Q.T + np.eye(m) * 0.1) * scale
+                    g64 = rng.normal(size=m) * 2.0 * scale
+                    lb = -np.abs(rng.normal(size=m)) - 0.05
+                    ub = np.abs(rng.normal(size=m)) + 0.05
+
+                    u32, free32 = boxqp_enum(
+                        jnp.asarray(H64, jnp.float32), jnp.asarray(g64, jnp.float32),
+                        jnp.asarray(lb, jnp.float32), jnp.asarray(ub, jnp.float32),
+                    )
+                    u64, _ = boxqp_enum(
+                        jnp.asarray(H64), jnp.asarray(g64),
+                        jnp.asarray(lb), jnp.asarray(ub),
+                    )
+                    u32 = np.asarray(u32, np.float64)
+                    obj = lambda u: 0.5 * u @ H64 @ u + g64 @ u
+                    # feasible (clipped by construction)
+                    assert (u32 >= lb - 1e-6).all() and (u32 <= ub + 1e-6).all()
+                    # objective within f32-roundoff of the f64 optimum
+                    ref = obj(np.asarray(u64))
+                    tol = 1e-4 * (abs(ref) + scale)
+                    assert obj(u32) <= ref + tol, (scale, m, trial, obj(u32), ref)
+
     def test_backward_box_enum_matches_newton(self, rng):
         """ilqr_backward_box gains agree between qp_method='enum' and
         'newton' on a random LQ problem with active bounds."""

@@ -65,9 +65,16 @@ def test_car_control_bounds():
         alphas=10.0 ** jnp.linspace(0.0, -5.0, 50)[:20],
         tol=1e-3, outer_tol=1e-5, osc_tol=1e-5,
     )
-    # converged (not iteration-capped): this init needs ~84 outer steps
+    # converged or detected-oscillating (not forward-pass failure): this
+    # init needs ~84 of the 120 outer steps, so small numeric drift can
+    # land on MAX_ITER; the cost/violation bounds below are the real
+    # oracle (ADVICE r2: don't pin the exact status)
     from ilqr_admm_tpu.problem import SolveStatus
-    assert int(res_o.status) == int(SolveStatus.CONVERGED), int(res_o.status)
+    assert int(res_o.status) in (
+        int(SolveStatus.CONVERGED),
+        int(SolveStatus.OSCILLATING),
+        int(SolveStatus.MAX_ITER),
+    ), int(res_o.status)
     us_o = np.asarray(res_o.u_nom)
     assert us_o[:, 0].max() <= 0.5 + 3e-4 and us_o[:, 0].min() >= -0.5 - 3e-4
     assert us_o[:, 1].max() <= 2.0 + 3e-4 and us_o[:, 1].min() >= -2.0 - 3e-4
