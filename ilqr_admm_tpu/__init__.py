@@ -40,12 +40,24 @@ from ilqr_admm_tpu.utils.cost_assembly import (
     run_once,
 )
 from ilqr_admm_tpu.projections import *  # noqa: F401,F403 — mirrors reference `from isls.projections import *`
+from ilqr_admm_tpu.chance import (
+    ChanceCalibration,
+    calibrate,
+    count_binding_rows,
+    make_box_chance_projection,
+    per_row_confidence,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SLS",
     "iSLS",
+    "ChanceCalibration",
+    "calibrate",
+    "count_binding_rows",
+    "make_box_chance_projection",
+    "per_row_confidence",
     "LQTProblem",
     "QuadCost",
     "ADMMConfig",

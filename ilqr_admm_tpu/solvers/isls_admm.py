@@ -57,6 +57,11 @@ def _isls_admm_impl(
     tol: float = 1e-3,
     outer_tol: float = 1e-4,
     osc_tol: float = 1e-3,
+    joint_alpha: Optional[float] = None,
+    u_bounds=None,
+    x0_var=None,
+    chance_method: str = "chi",
+    feasible_iterate: Optional[bool] = None,
 ) -> ISLSResult:
     """Run robust iSLS-ADMM from a nominal trajectory guess.
 
@@ -64,12 +69,35 @@ def _isls_admm_impl(
     z_plus_lambda is ((N*dim), p+1) and nominal is the current (N, dim)
     nominal trajectory (column 0 is the feedforward delta, columns 1..p
     the response map).
+
+    joint_alpha: turnkey *joint* chance-constraint calibration — with
+    ``u_bounds=(lower, upper)`` and ``x0_var`` the library derives the
+    SOC tightening psi = chi_p^{-1}(joint_alpha) (default method='chi',
+    the shared-uncertainty ball certificate — sound for any row count;
+    see `ilqr_admm_tpu.chance`) and builds the shifted SOC `project_u`
+    internally. The reference exposes only per-row levels (3DoF robust
+    c24-26); this is the calibrated one-call path to its joint regime.
     """
-    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     N, d = x_nom0.shape
     m = u_nom0.shape[-1]
     p = robust_dim
     dtype = x_nom0.dtype
+
+    if joint_alpha is not None:
+        if project_u is not None:
+            raise ValueError("pass either joint_alpha or project_u, not both")
+        if u_bounds is None or x0_var is None:
+            raise ValueError("joint_alpha requires u_bounds=(lo, hi) and x0_var")
+        from ilqr_admm_tpu.chance import make_box_chance_projection
+
+        project_u, _cal = make_box_chance_projection(
+            x0_var, p, u_bounds[0], u_bounds[1],
+            joint_alpha=joint_alpha, n_rows=N * m, method=chance_method,
+            shifted=True,
+        )
+    if feasible_iterate is None:
+        feasible_iterate = joint_alpha is not None
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     if alphas is None:
         alphas = 10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=dtype)[:20]
 
@@ -193,9 +221,19 @@ def _isls_admm_impl(
     status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status).astype(jnp.int32)
 
     # Final decision matrix [du | phi_u] from the last x-update (reference
-    # `isls.py:710-712`).
-    du = U_last[:, 0]
-    phi_u = U_last[:, 1:]
+    # `isls.py:710-712`) — or the projected z-iterate when feasibility of
+    # the returned controller is required (chance calibration: the
+    # z-side lies in the SOC sets by construction; see sls_admm). The
+    # z-side feedforward is a delta against the PRE-update nominal, while
+    # the returned u_nom includes the final x-step x_u[:,0]; subtracting
+    # it keeps the absolute feedforward u_nom + du at the projected
+    # (feasible) value.
+    if feasible_iterate and project_u is not None:
+        du = z_u[:, 0] - U_last[:, 0]
+        phi_u = z_u[:, 1:]
+    else:
+        du = U_last[:, 0]
+        phi_u = U_last[:, 1:]
     return ISLSResult(
         du=du, phi_u=phi_u, x_nom=x_nom, u_nom=u_nom, cost=cost,
         outer_iters=it, status=status, cost_log=cost_log,

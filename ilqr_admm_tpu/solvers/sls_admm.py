@@ -33,6 +33,11 @@ def _sls_admm_impl(
     rho_u=None,
     robust_dim: Optional[int] = None,
     cfg: ADMMConfig = ADMMConfig(max_iter=5000, stall_tol=1e-2),
+    joint_alpha: Optional[float] = None,
+    u_bounds=None,
+    x0_var=None,
+    chance_method: str = "chi",
+    feasible_iterate: Optional[bool] = None,
 ):
     """Solve the robust SLS problem with ADMM.
 
@@ -41,14 +46,55 @@ def _sls_admm_impl(
     Projections receive (rows, robust_dim + 1) matrices whose rows are
     [du_i, phi_i] points.
 
+    joint_alpha: turnkey *joint* chance-constraint calibration (see
+    `ilqr_admm_tpu.chance`): with ``u_bounds=(lower, upper)`` and
+    ``x0_var`` (variance of the robust initial-state block), the
+    library derives the SOC tightening psi from the requested joint
+    level — default method='chi', the shared-uncertainty ball
+    certificate psi = chi_p^{-1}(joint_alpha) (sound for any row count;
+    'sidak'/'bonferroni' correct per-row levels instead) — and builds
+    the SOC `project_u` internally (mutually exclusive with passing
+    project_u; the reference has no joint-level API — its 95.8 % joint
+    rate is an uncalibrated per-row-0.82 artifact, 3DoF robust c26).
+
+    feasible_iterate: return the z-side (projected) u-block instead of
+    the x-update output. The x-iterate is only *asymptotically* feasible
+    — at a finite iteration cap its rows can sit well inside the
+    constraint-violating region even when the ADMM is near its fixed
+    point — while the z-iterate lies in the constraint sets by
+    construction (up to the set-intersection projection tolerance), at
+    the price of the x/z consensus gap in optimality. Defaults to True
+    when joint_alpha calibration is active (a calibrated confidence is
+    meaningless on an infeasible iterate), False otherwise (reference
+    `sls.py:450` returns the x-side).
+
     Returns (du (Nm,), phi_u (Nm, Nd), info). phi_u splices the optimized
     robust columns into the unconstrained response map (`sls.py:450`).
     """
-    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype
     p = d // 2 if robust_dim is None else robust_dim
+
+    if joint_alpha is not None:
+        if project_u is not None:
+            raise ValueError("pass either joint_alpha or project_u, not both")
+        if u_bounds is None or x0_var is None:
+            raise ValueError("joint_alpha requires u_bounds=(lo, hi) and x0_var")
+        from ilqr_admm_tpu.chance import make_box_chance_projection
+
+        project_u, _cal = make_box_chance_projection(
+            x0_var, p, u_bounds[0], u_bounds[1],
+            joint_alpha=joint_alpha, n_rows=N * m, method=chance_method,
+        )
+    # z-side default only when no x-block exists: with a state projection
+    # the u-side z-iterate alone is NOT dynamics-consistent with the
+    # x-side constraints (measured: terminal-equality satisfaction
+    # collapses if the controller is built from z_u while the terminal
+    # rows were enforced through the x block).
+    if feasible_iterate is None:
+        feasible_iterate = joint_alpha is not None and project_x is None
+    validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
 
     # Unconstrained synthesis for the non-robust columns.
     PHI_U_unc, _ = lqt_solve_sls(A, B, cost)
@@ -100,14 +146,15 @@ def _sls_admm_impl(
             X = X.at[:, 1:].add(Sx)
             return X, U
 
-        x_x, x_u, _, _, _, _, _, info = admm_solve(
+        x_x, x_u, _, _, _, _, z_u, info = admm_solve(
             f_argmin, project_x, project_u,
             (N * d, p + 1), (N * m, p + 1), cfg,
             weight_x=weight_x, weight_u=weight_u,
             rho_weight_x=weight_x, rho_weight_u=weight_u, dtype=dtype,
         )
-        du = x_u[:, 0]
-        phi_u = jnp.concatenate([x_u[:, 1 : p + 1], PHI_U_unc[:, p:]], axis=-1)
+        out_u = z_u if (feasible_iterate and project_u is not None) else x_u
+        du = out_u[:, 0]
+        phi_u = jnp.concatenate([out_u[:, 1 : p + 1], PHI_U_unc[:, p:]], axis=-1)
         return du, phi_u, info
 
     l_side = l_side + reg_mat
@@ -126,13 +173,14 @@ def _sls_admm_impl(
         X = X.at[:, 1:].add(Sx)
         return X, U
 
-    x_x, x_u, _, _, _, _, _, info = admm_solve(
+    x_x, x_u, _, _, _, _, z_u, info = admm_solve(
         f_argmin, project_x, project_u,
         (N * d, p + 1), (N * m, p + 1), cfg,
         weight_x=weight_x, weight_u=weight_u, dtype=dtype,
     )
-    du = x_u[:, 0]
-    phi_u = jnp.concatenate([x_u[:, 1 : p + 1], PHI_U_unc[:, p:]], axis=-1)
+    out_u = z_u if (feasible_iterate and project_u is not None) else x_u
+    du = out_u[:, 0]
+    phi_u = jnp.concatenate([out_u[:, 1 : p + 1], PHI_U_unc[:, p:]], axis=-1)
     return du, phi_u, info
 
 
