@@ -43,7 +43,16 @@ def _readback(out):
 
 
 def timed(name, ref_ms, fn, oracle=None, reps=3):
-    """Warmup + best-of timing; records (ours_ms, ref_ms, oracle note)."""
+    """Warmup + best-of timing; records (ours_ms, ref_ms, oracle note).
+
+    BENCH_ONLY=<substring> env var runs only matching rows (comma-
+    separated substrings) — used to add/measure rows without re-running
+    the whole suite through the tunnel."""
+    only = os.environ.get("BENCH_ONLY")
+    if only and not any(s.strip().lower() in name.lower()
+                        for s in only.split(",")):
+        print(f"{name}: skipped (BENCH_ONLY)")
+        return None
     out = fn()
     _readback(out)
     ts = []
@@ -324,6 +333,302 @@ def main():
           lambda: arm_admm(x_nom_a, u0a),
           oracle=lambda c: f"cost={float(c):.4f} (ref 0.1996)")
 
+    # ---- 11. ADMM_LQT_Batch state+control bounds (ref 115 ms, cost 3.09e-2)
+    # state-bounds notebook c13: zero tracking cost, terminal pin via
+    # projection, |u| <= 3 (test_lqt_admm.py::test_state_and_control_bounds)
+    cost_sb = di_cost(N, 2, 0.0, 1e-4, [1.0, 1.0])
+
+    def proj_x_pin(x):
+        x_ = x.reshape(N, 2)
+        x_ = x_.at[-1, 0].set(jnp.clip(x_[-1, 0], 0.5, 0.5))
+        x_ = x_.at[-1, 1].set(0.0)
+        return x_.reshape(-1)
+
+    proj_u3 = lambda u: project_bound(u, -3.0, 3.0)
+    rho_x_sb = np.zeros((N, 2, 2), np.float32)
+    rho_x_sb[-1] = np.eye(2) * 1e1
+    sb_fn = jax.jit(
+        lambda x0: lqt_admm_batch(
+            A1, B1, cost_sb, x0, project_x=proj_x_pin, project_u=proj_u3,
+            rho_x=jnp.asarray(rho_x_sb), rho_u=1e-3,
+            cfg=ADMMConfig(max_iter=500, tol=1e-3),
+        )[:2]
+    )
+    timed(
+        "ADMM_LQT_Batch state+control bounds", 115.0, lambda: sb_fn(x0_2),
+        oracle=lambda xu: (
+            f"cost={float(cost_sb(xu[0].reshape(N, 2), xu[1].reshape(N, 1))):.2e}"
+            f" (ref 3.09e-2), xN={float(xu[0].reshape(N, 2)[-1, 0]):.4f}"
+        ),
+    )
+
+    # ---- 12/13. ADMM_LQT spherical obstacle avoidance (ref 447 / 1940 ms)
+    # obstacle notebook c13-14: 2D double integrator, two circular
+    # obstacles via consensus-ADMM + Dykstra refinement
+    # (examples/double_integrator_obstacles.py)
+    from ilqr_admm_tpu.projections import (
+        project_quadratic,
+        project_set_convex_dykstra,
+    )
+
+    cost_ob = di_cost(N, 4, 1e3, 1e-4, [1.0, 1.0, 0.0, 0.0])
+    radii_ob = np.array([0.1, 0.15]) * 1.1
+    centers_ob = [jnp.asarray([0.5, 0.5], f32), jnp.asarray([0.5, 0.2], f32)]
+    lowers_ob = 0.5 * radii_ob**2
+    projs_ob = [
+        (lambda c, l: (lambda y: project_quadratic(y - c, l, 1e2) + c))(c, l)
+        for c, l in zip(centers_ob, lowers_ob)
+    ]
+    As_ob = [jnp.eye(2, dtype=f32)] * 2
+    bs_ob = [jnp.zeros(2, f32)] * 2
+
+    def proj_x_ob(x):
+        x_ = x.reshape(N, 4)
+        pos = x_[:, :2]
+        pos = project_set_convex(pos, As_ob, bs_ob, projs_ob, rho=1.0,
+                                 max_iter=5, threshold=1e-2)
+        pos = project_set_convex_dykstra(pos, projs_ob, max_iter=50, tol=1e-5)
+        return x_.at[:, :2].set(pos).reshape(-1)
+
+    rho_x_ob = np.zeros((N, 4, 4), np.float32)
+    rho_x_ob[:, :2, :2] = np.eye(2)
+
+    def ob_oracle(xu):
+        xs = np.asarray(xu[0]).reshape(N, 4)
+        us = np.asarray(xu[1]).reshape(N, 2)
+        c = float(cost_ob(xs, us))
+        clear = min(
+            float(np.linalg.norm(xs[:, :2] - np.asarray(cc), axis=-1).min())
+            for cc in centers_ob
+        )
+        return f"cost={c:.3e} (ref 2.68e-1), min clearance {clear:.3f}"
+
+    ob_b = jax.jit(
+        lambda x0: lqt_admm_batch(
+            A2, B2, cost_ob, x0, project_x=proj_x_ob,
+            rho_x=jnp.asarray(rho_x_ob),
+            cfg=ADMMConfig(max_iter=500, tol=1e-3),
+        )[:2]
+    )
+    timed("ADMM_LQT_Batch 2 spherical obstacles", 447.0,
+          lambda: ob_b(x0_4), oracle=ob_oracle)
+    ob_d = jax.jit(
+        lambda x0: lqt_admm_dp(
+            A2, B2, cost_ob, x0, project_x=proj_x_ob,
+            rho_x=jnp.asarray(rho_x_ob),
+            cfg=ADMMConfig(max_iter=500, tol=1e-3),
+        )[:2]
+    )
+    timed("ADMM_LQT_DP 2 spherical obstacles", 1940.0,
+          lambda: ob_d(x0_4), oracle=ob_oracle)
+
+    # ---- 14. ADMM_SLS robust state+control bounds (ref 482 ms)
+    # state-bounds notebook c17 (test_sls_robust.py config): terminal
+    # SOC rows + per-row control chance SOCs, psi^-1(0.9)
+    psi9 = float(norm.ppf(0.9))
+
+    def _soc_pair_rows(psi, hi, lo, var):
+        mu_ = np.array([1.0, 0.0])
+        Ad = np.diag(np.sqrt([0.0, var]))
+        Ah = jnp.asarray(np.concatenate([Ad, (-mu_ / psi)[None]], 0), f32)
+        bh = jnp.asarray(np.append(np.zeros(2), hi / psi), f32)
+        Al = jnp.asarray(np.concatenate([Ad, (mu_ / psi)[None]], 0), f32)
+        bl = jnp.asarray(np.append(np.zeros(2), -lo / psi), f32)
+        return [Ah, Al], [bh, bl]
+
+    As_u9, bs_u9 = _soc_pair_rows(psi9, 3.0, -3.0, 0.02)
+    As_p9, bs_p9 = _soc_pair_rows(psi9, 0.5, 0.5, 0.02)
+    As_v9, bs_v9 = _soc_pair_rows(psi9, 0.0, 0.0, 0.02)
+    socs = [project_soc_unit] * 2
+
+    def proj_u_sb(y):
+        return project_set_convex(y, As_u9, bs_u9, socs, rho=1e1,
+                                  max_iter=20, threshold=1e-2)
+
+    def proj_x_sb(y):
+        pos = project_set_convex(y[-2:-1], As_p9, bs_p9, socs, rho=1e1,
+                                 max_iter=20, threshold=1e-2)
+        vel = project_set_convex(y[-1:], As_v9, bs_v9, socs, rho=1e1,
+                                 max_iter=20, threshold=1e-2)
+        return y.at[-2:-1].set(pos).at[-1:].set(vel)
+
+    rho_x_r9 = np.zeros((N, 2, 2), np.float32)
+    rho_x_r9[-1] = np.eye(2) * 1e3
+    slsx_fn = jax.jit(
+        lambda A, B: sls_admm(
+            A, B, cost_sb, project_x=proj_x_sb, project_u=proj_u_sb,
+            rho_x=jnp.asarray(rho_x_r9), rho_u=1e-3, robust_dim=1,
+            cfg=ADMMConfig(max_iter=100, tol=1e-5, stall_tol=1e-2),
+        )[:2]
+    )
+    timed(
+        "ADMM_SLS robust state+control bounds", 482.0,
+        lambda: slsx_fn(A1, B1),
+        oracle=lambda dp: (
+            f"min u z-score {float(np.min(np.minimum(3.0 - np.asarray(dp[0]), 3.0 + np.asarray(dp[0])) / np.maximum(np.sqrt(0.02) * np.abs(np.asarray(dp[1][:, 0])), 1e-12))):.2f}"
+            f" (target {psi9:.2f})"
+        ),
+    )
+
+    # ---- 15. iLQR batch-LS car (ref 7130 ms)
+    # Car state-constraints notebook c13: CarSimple, lifted least-squares
+    # inner solve (examples/car_state_constraints.py)
+    from ilqr_admm_tpu.models.car import CarSimple
+
+    cars = CarSimple(dt=15.0 / Ncar)
+    target_s = jnp.asarray([-5.0, -5.0, np.pi / 4, 0.0], f32)
+    zs_s = jnp.stack([jnp.zeros(4, f32), target_s])
+    Qs_s = jnp.stack([jnp.zeros((4, 4), f32), jnp.eye(4, dtype=f32) * 1e2])
+    seq_s = np.zeros(Ncar, dtype=np.int32)
+    seq_s[-1] = 1
+    scost = viapoint_cost(zs_s, Qs_s, seq_s, 1e-2, 2)
+    x0s_ = jnp.asarray([0.0, -2.0, np.pi / 2, 0.0], f32)
+    u0s_ = jnp.zeros((Ncar, 2), f32)
+
+    def get_Cs_s(xs, us):
+        return quad_cost_model(scost.Q, scost.xd, scost.R, xs, us)
+
+    def car_batch_solve(x0_, u0_):
+        with jax.default_matmul_precision("highest"):
+            s0 = ilqr_init(cars.step, scost, x0_, u0_)
+            return ilqr_solve(
+                cars.step, cars.get_AB, get_Cs_s, scost, s0,
+                ILQRConfig(max_iter=50, max_line_search_iter=40),
+                method="batch",
+            )
+
+    carb_fn = jax.jit(lambda x0_, u0_: car_batch_solve(x0_, u0_).x_nom)
+    timed(
+        "iLQR batch-LS car (N=500)", 7130.0, lambda: carb_fn(x0s_, u0s_),
+        oracle=lambda xs: (
+            f"final state err {float(jnp.linalg.norm(xs[-1] - target_s)):.3f}"
+        ),
+    )
+
+    # ---- 16. ilqr_admm car, 2 rotated-box obstacles (ref 6580 ms)
+    # Car state-constraints notebook c20: inf-norm-shell projections
+    # composed via consensus ADMM (examples/car_state_constraints.py)
+    from ilqr_admm_tpu.projections import project_square
+
+    centers_rb = np.stack([np.array([-7.0, -3.0]), np.array([-3.0, -7.0])])
+    a_safe = np.array([[2.5, 1.5], [2.5, 1.5]])
+    alpha_rb = -np.pi / 4
+    Rrb = np.array([[np.cos(alpha_rb), -np.sin(alpha_rb)],
+                    [np.sin(alpha_rb), np.cos(alpha_rb)]])
+    Ws_rb, Ws_inv_rb = [], []
+    for i in range(2):
+        W = np.diag(a_safe[i, 0] / a_safe[i]) @ Rrb.T
+        Ws_rb.append(jnp.asarray(W, f32))
+        Ws_inv_rb.append(jnp.asarray(np.linalg.inv(W), f32))
+    lower_sq = a_safe[:, 0] / 2
+
+    def make_proj_rb(i):
+        c = jnp.asarray(centers_rb[i], f32)
+
+        def proj(y):
+            z = (y[:, :2] - c) @ Ws_rb[i].T
+            z = project_square(z, float(lower_sq[i]), 1e5)
+            return y.at[:, :2].set(z @ Ws_inv_rb[i].T + c)
+
+        return proj
+
+    projs_rb = [make_proj_rb(0), make_proj_rb(1)]
+    As_rb = [jnp.eye(4, dtype=f32)] * 2
+    bs_rb = [jnp.zeros(4, f32)] * 2
+
+    def proj_x_rb(x):
+        x_ = x.reshape(Ncar, 4)
+        out = project_set_convex(x_, As_rb, bs_rb, projs_rb, rho=1e1,
+                                 max_iter=15, threshold=1e-3)
+        return out.reshape(-1)
+
+    rho_x_rb = np.zeros((Ncar, 4, 4), np.float32)
+    rho_x_rb[:, :2, :2] = np.eye(2) * 1e-1
+    x_nom_s = rollout_nonlinear(cars.step, x0s_, u0s_)
+
+    def rb_oracle(res):
+        xs = np.asarray(res.x_nom)
+        clear = min(
+            float(np.abs((xs[:, :2] - centers_rb[i]) @ np.asarray(Ws_rb[i]).T)
+                  .max(-1).min())
+            for i in range(2)
+        )
+        return (f"cost={float(res.cost):.3f}, min box distance {clear:.3f} "
+                f"(bound {lower_sq[0]:.2f})")
+
+    car_rb = jax.jit(
+        lambda xn, u: ilqr_admm(
+            cars.step, cars.get_AB, scost, xn, u, get_Cs=get_Cs_s,
+            project_x=proj_x_rb, rho_x=jnp.asarray(rho_x_rb),
+            max_iter=10, max_admm_iter=10,
+            alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:50],
+            tol=1e-1, outer_tol=1e-3, osc_tol=1e-4,
+        )
+    )
+    timed("ilqr_admm car 2 rotated-box obstacles (N=500)", 6580.0,
+          lambda: car_rb(x_nom_s, u0s_), oracle=rb_oracle)
+
+    # ---- 17. isls_admm robust 3DoF + 1k-rollout MC (ref 9580 ms total)
+    # 3DoF robust notebook c26 (test_isls_robust.py config): robust iSLS
+    # synthesis + 1000 on-device MC rollouts + success-rate reduction,
+    # all inside the timed window (the reference's 9.58 s is also
+    # solve + MC)
+    from ilqr_admm_tpu.solvers.isls_admm import isls_admm
+    from ilqr_admm_tpu.solvers.lqt import sls_controller
+    from ilqr_admm_tpu.ops.rollout import rollout_sls_delta
+
+    VAR_Q0 = 0.1
+    x_std_r, u_std_r = 1e3, 1e-4
+    target_r = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 2.0, 0.0], f32)
+    w_r = jnp.asarray([0.0] * n + [x_std_r] * n + [x_std_r, x_std_r, 0.0], f32)
+    zs_r = jnp.stack([jnp.zeros(d, f32), target_r])
+    Qs_r = jnp.stack([jnp.zeros((d, d), f32), jnp.diag(w_r)])
+    rquad = viapoint_cost(zs_r, Qs_r, seq, u_std_r, m)
+    q0_r = jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4], f32)
+    x0_r = arm.initial_state(q0_r)
+    u0_r = jnp.zeros((Na, m), f32)
+    x_nom_r = rollout_nonlinear(arm.step, x0_r, u0_r)
+
+    rng_r = np.random.default_rng(11)
+    q0s_mc = rng_r.normal(np.asarray(x_nom_r[0, :n]), np.sqrt(VAR_Q0),
+                          size=(1000, n)).astype(np.float32)
+    x0s_mc = jnp.asarray(
+        np.concatenate(
+            [q0s_mc, np.zeros((1000, n), np.float32),
+             np.asarray(jax.vmap(arm.fk)(jnp.asarray(q0s_mc)), np.float32)],
+            axis=-1,
+        )
+    )
+
+    def robust_and_mc(xn, u0_, x0s_batch):
+        res = isls_admm(
+            arm.step, arm.get_AB, rquad, xn, u0_, robust_dim=n,
+            quad_cost=rquad, rho_u=1e0,
+            joint_alpha=0.958, u_bounds=(-6.0, 6.0), x0_var=VAR_Q0,
+            k_max=50, max_admm_iter=10,
+            alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:30],
+            outer_tol=1e-4,
+        )
+        PHI_U = jnp.zeros((m * Na, d * Na), f32).at[:, :n].set(res.phi_u)
+        A_r, B_r = arm.get_AB(res.x_nom, res.u_nom)
+        K_r, k_r = sls_controller(A_r, B_r, PHI_U, res.du)
+        _, us_mc = jax.vmap(
+            lambda a: rollout_sls_delta(arm.step, a, K_r, k_r,
+                                        res.x_nom, res.u_nom)
+        )(x0s_batch)
+        ok = jnp.all(jnp.abs(us_mc) <= 6.0 + 1e-3, axis=(1, 2))
+        return jnp.mean(ok.astype(f32)), res.cost
+
+    risl_fn = jax.jit(robust_and_mc)
+    timed(
+        "isls_admm robust 3DoF + 1k-rollout MC", 9580.0,
+        lambda: risl_fn(x_nom_r, u0_r, x0s_mc),
+        oracle=lambda rc: (
+            f"joint MC success {float(rc[0]):.3f} (ref 0.958; "
+            f"chi-calibrated joint_alpha=0.958)"
+        ),
+    )
+
     # ---- 10. batched throughput headline (no single-instance reference)
     BATCH = 4096
     bsolve = make_batched_lqt_admm(A1, B1, cost1, project_u=proj_u, rho_u=1e-2,
@@ -335,10 +640,19 @@ def main():
         oracle=lambda u: f"{BATCH} instances",
     )
 
-    # ---- write outputs
+    # ---- write outputs (BENCH_ONLY runs merge into the existing table
+    # by row name instead of clobbering it)
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "headtohead.json"), "w") as fh:
-        json.dump({"backend": backend, "rows": RESULTS}, fh, indent=2)
+    rows_out = RESULTS
+    jpath = os.path.join(here, "headtohead.json")
+    if os.environ.get("BENCH_ONLY") and os.path.exists(jpath):
+        with open(jpath) as fh:
+            prev = {r["name"]: r for r in json.load(fh).get("rows", [])}
+        for r in RESULTS:
+            prev[r["name"]] = r
+        rows_out = list(prev.values())
+    with open(jpath, "w") as fh:
+        json.dump({"backend": backend, "rows": rows_out}, fh, indent=2)
     lines = [
         "# Head-to-head vs BASELINE.md (single-instance wall clock)",
         "",
@@ -356,7 +670,7 @@ def main():
         "| Benchmark | ours (ms) | reference (ms) | speedup | oracle |",
         "|---|---|---|---|---|",
     ]
-    for r in RESULTS:
+    for r in rows_out:
         lines.append(
             f"| {r['name']} | {r['ours_ms']} | {r['ref_ms']} | "
             f"{r['speedup']}x | {r['oracle']} |"
