@@ -258,17 +258,21 @@ def main():
     from ilqr_admm_tpu.problem import ILQRConfig
     from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
 
+    # LM regularization schedule (r3): line-search failures escalate reg
+    # and retry instead of terminating — r2's config stalled at 1.919;
+    # full convergence to the ADMM golden 1.9054 takes ~170 iterations
+    # from the cold start (CPU == TPU trajectory)
     car_box = jax.jit(
         lambda x0_, u0_: boxddp_solve(
             car.step, car.get_AB, ccost.get_Cs, ccost,
             boxddp_init(car.step, ccost, x0_, u0_, lo, hi),
             u_lower=lo, u_upper=hi,
-            cfg=ILQRConfig(max_iter=60, tol_fun=1e-6),
+            cfg=ILQRConfig(max_iter=200, tol_fun=1e-7),
         ).cost
     )
     timed("boxDDP car control bounds (N=500)", 17400.0,
           lambda: car_box(x0c, u0),
-          oracle=lambda c: f"cost={float(c):.3f} (ref ADMM 1.903), exact bounds",
+          oracle=lambda c: f"cost={float(c):.4f} (ADMM golden 1.9054, ref 1.903), exact bounds",
           reps=2)
 
     # ---- 8. iLQR 3DoF arm (ref 100-131 ms)
@@ -412,10 +416,15 @@ def main():
     )
     timed("ADMM_LQT_Batch 2 spherical obstacles", 447.0,
           lambda: ob_b(x0_4), oracle=ob_oracle)
+    # DP path needs a stiffer position penalty to stay clear of the
+    # obstacles (rho 1: clearance 0.050 < radius 0.10; rho 10: 0.109 at
+    # cost 2.77e-1 vs ref 2.701e-1 — CPU sweep)
+    rho_x_ob_dp = np.zeros((N, 4, 4), np.float32)
+    rho_x_ob_dp[:, :2, :2] = np.eye(2) * 1e1
     ob_d = jax.jit(
         lambda x0: lqt_admm_dp(
             A2, B2, cost_ob, x0, project_x=proj_x_ob,
-            rho_x=jnp.asarray(rho_x_ob),
+            rho_x=jnp.asarray(rho_x_ob_dp),
             cfg=ADMMConfig(max_iter=500, tol=1e-3),
         )[:2]
     )

@@ -88,35 +88,61 @@ def boxddp_solve(
     reg: float = 0.0,
     qp_iters: int = 12,
     qp_method: str = "auto",
+    reg_min: float = 1e-6,
+    reg_max: float = 1e8,
+    reg_factor: float = 10.0,
+    reg_down: float | None = None,
 ) -> ILQRState:
     """Full boxDDP solve as a jittable while_loop (vmaps over instances).
 
     Every accepted iterate satisfies the control bounds exactly (clipped
     rollouts) — unlike ADMM, where feasibility holds only at the
     splitting tolerance.
+
+    Line-search failures escalate a Levenberg-Marquardt regularization
+    on Quu (Tassa ICRA'14 schedule: multiply by `reg_factor` and retry,
+    starting from max(reg, reg_min); divide back down on acceptance) —
+    round 2 terminated on the FIRST failed line search, stalling the
+    N=500 car at cost 1.919 (TPU) / 3.17 (CPU) vs the 1.905 optimum.
+    Termination is LINE_SEARCH_FAILED only once the regularization
+    exceeds `reg_max`. Retry iterations count toward cfg.max_iter.
     """
     alphas = line_search_alphas(cfg, state0.x_nom.dtype)
+    dtype = state0.x_nom.dtype
+    if reg_down is None:
+        reg_down = reg_factor
 
-    def cond(state):
+    def cond(carry):
+        state, _lam = carry
         return jnp.logical_and(
             state.iteration < cfg.max_iter, state.status == SolveStatus.RUNNING
         )
 
-    def body(state):
+    def body(carry):
+        state, lam = carry
         new_state, accept, _ = boxddp_iterate(
             f, get_AB, get_Cs, cost_fn, state, alphas,
-            u_lower, u_upper, reg=reg, qp_iters=qp_iters,
+            u_lower, u_upper, reg=reg + lam, qp_iters=qp_iters,
             qp_method=qp_method,
         )
+        # regularization schedule: up on reject (retry), down on accept
+        lam_up = jnp.maximum(lam * reg_factor, reg_min)
+        lam_dn = jnp.where(lam <= reg_min * 1.01, 0.0, lam / reg_down)
+        lam_new = jnp.where(accept, lam_dn, lam_up).astype(dtype)
+
         dcost = jnp.abs(new_state.cost - new_state.prev_cost)
         status = jnp.where(
             jnp.logical_not(accept),
-            SolveStatus.LINE_SEARCH_FAILED,
+            # rejected step: retry at higher reg unless it's exhausted
+            jnp.where(
+                lam_new > reg_max, SolveStatus.LINE_SEARCH_FAILED,
+                SolveStatus.RUNNING,
+            ),
             jnp.where(dcost < cfg.tol_fun, SolveStatus.CONVERGED, SolveStatus.RUNNING),
         ).astype(jnp.int32)
-        return new_state._replace(status=status)
+        return new_state._replace(status=status), lam_new
 
-    out = lax.while_loop(cond, body, state0)
+    out, _ = lax.while_loop(cond, body, (state0, jnp.asarray(0.0, dtype)))
     return out._replace(
         status=jnp.where(
             out.status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, out.status
