@@ -106,6 +106,101 @@ def ilqr_backward_box(
 
 
 @highest_precision
+def ilqr_backward_box_parallel(
+    A: jax.Array,
+    B: jax.Array,
+    Cts: jax.Array,
+    cts: jax.Array,
+    u_nom: jax.Array,
+    u_lower,
+    u_upper,
+    reg: float | jax.Array = 0.0,
+    eps: float = 1e-6,
+    mask_iters: int = 2,
+):
+    """Time-parallel boxDDP backward pass via active-set freezing.
+
+    The exact box-QP recursion (`ilqr_backward_box`) is inherently
+    sequential — each stage's clamped set depends on the cost-to-go.
+    This variant replaces it with TWO associative-scan passes
+    (`ops/parallel_riccati.py::ilqr_backward_parallel`, O(log N) depth):
+
+    1. an unconstrained pass whose feedforward k_unc estimates, per
+       stage, which bound-riding controls the Newton step pushes
+       *outward* (the same test boxQP's KKT check applies at its
+       solution);
+    2. a masked pass on the frozen free subspace: clamped control dims
+       are removed from the model (B columns zeroed, Cuu rows/cols
+       replaced by identity filler, Cux/cu rows zeroed), so their
+       du = 0 — EXACT because the nominal is feasible (clipped
+       rollouts) and a dim is only frozen when it sits ON its bound,
+       making the clamped increment offset zero.
+
+    The mask is one iteration stale in the same sense projected-Newton's
+    first active-set estimate is; the boxDDP line search + LM
+    regularization schedule (solvers/boxddp.py) globalizes exactly as
+    with the sequential pass. Returns (K (N,m,d), k (N,m)) with zero
+    feedback on clamped rows; forward rollouts clip as usual.
+
+    STATUS — experimental approximation. On lightly saturated problems
+    it tracks the exact pass; on the heavily saturated car-parking task
+    (~45 % of controls at bounds) the stale masks slow the outer loop
+    and it plateaus ~1.1-1.4x above the exact sequential pass's final
+    cost (measured: 1.995 vs 1.905 at N=500/250 iters with
+    mask_iters=4; 0.50 vs 0.37 at N=100). Use the sequential
+    `ilqr_backward_box` when solution quality is the bar and this
+    variant when backward-pass latency at very long horizons dominates.
+    """
+    from ilqr_admm_tpu.ops.parallel_riccati import ilqr_backward_parallel
+
+    d = A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+    lo = jnp.broadcast_to(jnp.asarray(u_lower, dtype), (m,))
+    hi = jnp.broadcast_to(jnp.asarray(u_upper, dtype), (m,))
+    tol = eps * (1.0 + jnp.maximum(jnp.abs(lo), jnp.abs(hi)))
+
+    # reg may be a traced scalar (the boxDDP LM schedule) — apply
+    # unconditionally (zero adds nothing)
+    Cts = Cts.at[:, d:, d:].add(
+        jnp.asarray(reg, dtype) * jnp.eye(m, dtype=dtype)[None]
+    )
+
+    at_lo = u_nom <= lo[None] + tol[None]
+    at_hi = u_nom >= hi[None] - tol[None]
+
+    def masked_pass(free):
+        F = free.astype(dtype)
+        B_eff = B * F[:, None, :]
+        Cuu = Cts[:, d:, d:]
+        Cuu_eff = (
+            Cuu * F[:, :, None] * F[:, None, :]
+            + jnp.eye(m, dtype=dtype)[None] * (1.0 - F)[:, :, None]
+        )
+        Cts_eff = Cts.at[:, d:, d:].set(Cuu_eff)
+        Cts_eff = Cts_eff.at[:, d:, :d].set(Cts[:, d:, :d] * F[:, :, None])
+        Cts_eff = Cts_eff.at[:, :d, d:].set(Cts[:, :d, d:] * F[:, None, :])
+        cts_eff = cts.at[:, d:].set(cts[:, d:] * F)
+        K, k = ilqr_backward_parallel(A, B_eff, Cts_eff, cts_eff)
+        return K * F[:, :, None], k * F
+
+    # active-set fixed point: pass i's feedforward refines the frozen
+    # set for pass i+1 (each pass is O(log N); the set usually settles
+    # in 2-3). Pass 0 estimates from the unconstrained direction.
+    _, k_est = ilqr_backward_parallel(A, B, Cts, cts)
+    K = k = None
+    for _ in range(max(1, mask_iters)):
+        free = ~((at_lo & (k_est < 0)) | (at_hi & (k_est > 0)))  # (N, m)
+        K, k = masked_pass(free)
+        # refreeze test uses the *constrained* step next round; frozen
+        # dims keep their previous (outward) direction so they can only
+        # be released by an inward unconstrained pull — re-estimate that
+        # from the free-pass result where free, k_est's sign where not
+        k_est = jnp.where(free, k, k_est)
+    return K, k
+
+
+@highest_precision
 def rollout_closed_loop_clipped(
     f,
     x0: jax.Array,

@@ -55,14 +55,32 @@ def boxddp_iterate(
     reg: float = 0.0,
     qp_iters: int = 12,
     qp_method: str = "auto",
+    riccati: str = "seq",
 ):
-    """One boxDDP iteration: box-QP backward pass + clipped line search."""
+    """One boxDDP iteration: box-QP backward pass + clipped line search.
+
+    riccati='parallel' swaps the sequential per-stage box-QP scan for
+    the two-pass active-set-frozen associative-scan backward
+    (`ops/constrained_riccati.py::ilqr_backward_box_parallel`, O(log N)
+    depth) — the long-horizon option.
+    """
     A, B = get_AB(state.x_nom, state.u_nom)
     cts, Cts = get_Cs(state.x_nom, state.u_nom)
-    K, k = ilqr_backward_box(
-        A, B, Cts, cts, state.u_nom, u_lower, u_upper, reg=reg,
-        qp_iters=qp_iters, qp_method=qp_method,
-    )
+    if riccati not in ("seq", "parallel"):
+        raise ValueError(f"riccati must be 'seq' or 'parallel', got {riccati!r}")
+    if riccati == "parallel":
+        from ilqr_admm_tpu.ops.constrained_riccati import (
+            ilqr_backward_box_parallel,
+        )
+
+        K, k = ilqr_backward_box_parallel(
+            A, B, Cts, cts, state.u_nom, u_lower, u_upper, reg=reg
+        )
+    else:
+        K, k = ilqr_backward_box(
+            A, B, Cts, cts, state.u_nom, u_lower, u_upper, reg=reg,
+            qp_iters=qp_iters, qp_method=qp_method,
+        )
 
     def rollout_alpha(alpha):
         return rollout_closed_loop_clipped(
@@ -92,6 +110,7 @@ def boxddp_solve(
     reg_max: float = 1e8,
     reg_factor: float = 10.0,
     reg_down: float | None = None,
+    riccati: str = "seq",
 ) -> ILQRState:
     """Full boxDDP solve as a jittable while_loop (vmaps over instances).
 
@@ -123,7 +142,7 @@ def boxddp_solve(
         new_state, accept, _ = boxddp_iterate(
             f, get_AB, get_Cs, cost_fn, state, alphas,
             u_lower, u_upper, reg=reg + lam, qp_iters=qp_iters,
-            qp_method=qp_method,
+            qp_method=qp_method, riccati=riccati,
         )
         # regularization schedule: up on reject (retry), down on accept
         lam_up = jnp.maximum(lam * reg_factor, reg_min)

@@ -254,6 +254,11 @@ class TestBoxQPEnum:
 
         from ilqr_admm_tpu.ops.boxqp import boxqp, boxqp_enum
 
+        # jit once per m — eager per-trial dispatch made this the slowest
+        # test in the fast suite (30 s -> ~3 s)
+        enum_j = jax.jit(boxqp_enum)
+        newton_j = jax.jit(boxqp)
+
         for m in (1, 2, 3):
             for trial in range(25):
                 Q = rng.normal(size=(m, m))
@@ -262,10 +267,10 @@ class TestBoxQPEnum:
                 lb = -np.abs(rng.normal(size=m)) - 0.05
                 ub = np.abs(rng.normal(size=m)) + 0.05
 
-                u_e, free_e = boxqp_enum(
+                u_e, free_e = enum_j(
                     jnp.asarray(H), jnp.asarray(g), jnp.asarray(lb), jnp.asarray(ub)
                 )
-                u_n, _ = boxqp(
+                u_n, _ = newton_j(
                     jnp.asarray(H), jnp.asarray(g), jnp.asarray(lb), jnp.asarray(ub)
                 )
                 obj = lambda u: 0.5 * u @ H @ u + g @ u
@@ -297,6 +302,8 @@ class TestBoxQPEnum:
         """
         from ilqr_admm_tpu.ops.boxqp import boxqp_enum
 
+        enum_j = jax.jit(boxqp_enum)  # once per (m, dtype); eager was 19 s
+
         for scale in (1.0, 1e2, 1e4, 1e6):
             for m in (1, 2, 3):
                 for trial in range(10):
@@ -306,11 +313,11 @@ class TestBoxQPEnum:
                     lb = -np.abs(rng.normal(size=m)) - 0.05
                     ub = np.abs(rng.normal(size=m)) + 0.05
 
-                    u32, free32 = boxqp_enum(
+                    u32, free32 = enum_j(
                         jnp.asarray(H64, jnp.float32), jnp.asarray(g64, jnp.float32),
                         jnp.asarray(lb, jnp.float32), jnp.asarray(ub, jnp.float32),
                     )
-                    u64, _ = boxqp_enum(
+                    u64, _ = enum_j(
                         jnp.asarray(H64), jnp.asarray(g64),
                         jnp.asarray(lb), jnp.asarray(ub),
                     )
@@ -322,6 +329,63 @@ class TestBoxQPEnum:
                     ref = obj(np.asarray(u64))
                     tol = 1e-4 * (abs(ref) + scale)
                     assert obj(u32) <= ref + tol, (scale, m, trial, obj(u32), ref)
+
+    def test_backward_box_parallel_inactive_matches_unconstrained(self, rng):
+        """With bounds far away (nothing clamps), the active-set-frozen
+        parallel pass must equal the plain parallel iLQR backward."""
+        from ilqr_admm_tpu.ops.constrained_riccati import (
+            ilqr_backward_box_parallel,
+        )
+        from ilqr_admm_tpu.ops.parallel_riccati import ilqr_backward_parallel
+
+        N, d, m = 16, 3, 2
+        A = jnp.asarray(np.eye(d) + rng.normal(size=(N, d, d)) * 0.03)
+        B = jnp.asarray(rng.normal(size=(N, d, m)) * 0.2)
+        Cts = np.zeros((N, d + m, d + m))
+        for t in range(N):
+            Qx = rng.normal(size=(d, d)) * 0.1
+            Cts[t, :d, :d] = Qx @ Qx.T + np.eye(d) * 0.5
+            Cts[t, d:, d:] = np.eye(m) * 0.2
+        cts = jnp.asarray(rng.normal(size=(N, d + m)))
+        u_nom = jnp.asarray(rng.normal(size=(N, m)) * 0.1)
+        K_b, k_b = ilqr_backward_box_parallel(
+            A, B, jnp.asarray(Cts), cts, u_nom, -1e3, 1e3
+        )
+        K_u, k_u = ilqr_backward_parallel(A, B, jnp.asarray(Cts), cts)
+        np.testing.assert_allclose(np.asarray(K_b), np.asarray(K_u), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(k_b), np.asarray(k_u), atol=1e-8)
+
+    def test_boxddp_parallel_riccati_near_sequential(self, rng):
+        """boxDDP with the active-set-frozen parallel backward on a
+        short control-limited car: exactly feasible and a large
+        improvement over the initial cost. The frozen-mask pass is an
+        APPROXIMATION (measured ~1.4x the exact sequential pass's final
+        cost on this heavily saturated task — see the docstring of
+        `ilqr_backward_box_parallel`); the assertion bounds that gap so
+        a regression past it fails."""
+        from ilqr_admm_tpu.models.car import CarFrontWheel, CarParkingCost
+        from ilqr_admm_tpu.problem import ILQRConfig
+        from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
+
+        N = 100
+        car = CarFrontWheel(dt=15.0 / N)
+        cost = CarParkingCost()
+        u0 = jnp.asarray(rng.normal(size=(N, 2)) * 0.1)
+        x0 = jnp.asarray([1.0, 1.0, 3.0 * np.pi / 2, 0.0])
+        lo = jnp.asarray([-0.5, -2.0])
+        hi = jnp.asarray([0.5, 2.0])
+        st0 = boxddp_init(car.step, cost, x0, u0, lo, hi)
+        cfg = ILQRConfig(max_iter=120, tol_fun=1e-8)
+        st_s = boxddp_solve(car.step, car.get_AB, cost.get_Cs, cost, st0,
+                            lo, hi, cfg=cfg)
+        st_p = boxddp_solve(car.step, car.get_AB, cost.get_Cs, cost, st0,
+                            lo, hi, cfg=cfg, riccati="parallel")
+        us = np.asarray(st_p.u_nom)
+        assert np.abs(us / np.asarray([0.5, 2.0])).max() <= 1.0 + 1e-9
+        c_s, c_p = float(st_s.cost), float(st_p.cost)
+        # big improvement over the initial rollout, bounded gap vs exact
+        assert c_p < 0.15 * float(st0.cost), (float(st0.cost), c_p)
+        assert c_p <= c_s * 1.6 + 1e-6, (c_s, c_p)
 
     def test_backward_box_enum_matches_newton(self, rng):
         """ilqr_backward_box gains agree between qp_method='enum' and
