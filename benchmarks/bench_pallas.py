@@ -40,3 +40,9 @@ for tile in [256, 512, 1024]:
     jax.block_until_ready(u_p); dt=(time.perf_counter()-t0)/reps
     err = float(jnp.max(jnp.abs(u_p-u_ref)))
     print(f"Pallas tile={tile}: {dt*1e3:.2f} ms → {BATCH*ITERS/dt/1e6:.1f}M iters/s, max|u| {float(jnp.max(jnp.abs(u_p))):.4f}, vs-XLA err {err:.2e}")
+    # MFU: useful work per instance-iteration = the (Nm)x(Nm) response
+    # GEMM (2*Nm^2 FLOPs); issued = 3 bf16 passes; Nm=100 pads to 128
+    # lanes in both GEMM dims
+    from mfu import lane_pad, report
+    print("        " + report(BATCH*ITERS/dt, 2.0*(N*m)**2, issued_factor=3.0,
+                              pad_factor=lane_pad(N*m)**2))

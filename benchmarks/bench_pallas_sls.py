@@ -98,6 +98,14 @@ def main(batch=1024, n_iters=50, n_cons=20, n_cons_pallas=5):
     active = float(jnp.mean(jnp.max(margin, 1) > bounds * 0.98)) * 100
     print(f"worst chance margin: {worst:+.4f} (<=0 is feasible; active for {active:.0f}% of fleet)")
     print(f"speedup pallas vs xla: {results['xla'][0]/results['pallas'][0]:.2f}x")
+    # MFU: useful work per synthesis = n_iters x the (p+1, Nm)@(Nm, Nm)
+    # x-update GEMM = n_iters * 2 * (p+1) * Nm^2 FLOPs (consensus SOC
+    # projections are VPU work, excluded); issued = 3 bf16 passes
+    from mfu import lane_pad, report
+    Nm = 100  # N * u_dim of this fixture
+    print("pallas  " + report(results["pallas"][1],
+                              n_iters * 2.0 * 2 * Nm * Nm,
+                              issued_factor=3.0, pad_factor=lane_pad(Nm)**2))
 
 
 if __name__ == "__main__":

@@ -94,13 +94,24 @@ def main():
             # at N=10k and loses badly anyway (968 ms vs 84 ms sequential
             # — RESULTS.md); bench only the blocked variants there
             variants = variants[2:]
+        best_t = None
         for name, f in variants:
             fn = jax.jit(f)
             g = fn()
             err = float(jnp.max(jnp.abs(g_s.K - g.K))) / max(kscale, 1e-30)
             t = timeit(fn)
+            best_t = t if best_t is None else min(best_t, t)
             line += f" | {name} {t * 1e3:7.2f} ms ({t_s / t:5.2f}x, err {err:.1e})"
         print(line)
+        # MFU of the best variant. Useful FLOPs of one parallel backward
+        # ~ N combine elements (6 dxd matmuls each: ~12 d^3) + the
+        # O(N log(N/L)/L + L) combine tree (~20 d^3 each incl. the d x d
+        # solve) + N gain solves (~4 m d^2) — dominated by the N d^3
+        # terms; count 32 N d^3 as the useful estimate (exact op mix
+        # documented in ops/parallel_riccati.py).
+        from mfu import report
+        print("        best-variant " +
+              report(1.0 / best_t, 32.0 * N * d**3))
 
 
 if __name__ == "__main__":

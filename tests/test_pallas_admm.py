@@ -69,6 +69,29 @@ def test_pallas_u_only_delta_converges_to_fixed_point():
     assert float(jnp.max(jnp.abs(zu))) <= 5.0 + 1e-5
 
 
+def test_pallas_polish_tightens_primal_residual():
+    """bf16x6 polish iterations (the converged_frac fix, VERDICT r2 #3):
+    with polish the final primal residual ||u - z|| reaches the f32
+    ADMM floor; without it the bf16x3 noise floor dominates. Interpret
+    mode emulates the bf16 casts, so the effect reproduces on CPU."""
+    N = 40
+    plant, A, B, cost = _problem(N)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(0, 0.1, size=(16, plant.x_dim)), jnp.float32)
+
+    def prim(polish):
+        solve_p = make_pallas_lqt_admm(
+            A, B, cost, u_lower=-5.0, u_upper=5.0, rho_u=1e-1,
+            n_iters=100, batch_tile=8, polish_iters=polish, interpret=True,
+        )
+        _, u, _, zu = solve_p(x0s)
+        return float(jnp.max(jnp.linalg.norm(u - zu, axis=-1)))
+
+    p0, p12 = prim(0), prim(12)
+    assert p12 < 1e-4, (p0, p12)
+    assert p12 <= p0
+
+
 @pytest.mark.slow
 def test_pallas_xu_matches_xla():
     N = 30
