@@ -33,28 +33,32 @@ ccost = CarParkingCost()
 rng = np.random.default_rng(0)
 u0 = jnp.asarray(rng.normal(size=(Ncar, 2)) * 0.1, f32)
 x0c = jnp.asarray([1.0, 1.0, 3 * np.pi / 2, 0.0], f32)
-cfg = ILQRConfig(max_iter=100, max_line_search_iter=40)
-
-
-def solve(x0_, u0_, riccati):
+def solve(x0_, u0_, riccati, nls=40):
+    cfg = ILQRConfig(max_iter=100, max_line_search_iter=nls)
     with jax.default_matmul_precision("highest"):
         s0 = ilqr_init(car.step, ccost, x0_, u0_)
-        return ilqr_solve(
+        out = ilqr_solve(
             car.step, car.get_AB, ccost.get_Cs, ccost, s0, cfg, riccati=riccati
-        ).cost
+        )
+        return out.cost, out.iteration
 
 
-fns = {r: jax.jit(lambda x, u, r=r: solve(x, u, r)) for r in ("chol", "parallel")}
+fns = {r: jax.jit(lambda x, u, r=r: solve(x, u, r))
+       for r in ("chol", "parallel", "parallel_fast")}
+fns["parallel_fast-ls25"] = jax.jit(lambda x, u: solve(x, u, "parallel_fast", 25))
+fns["parallel-ls25"] = jax.jit(lambda x, u: solve(x, u, "parallel", 25))
 # warm compiles + readback channel
 for name, f in fns.items():
     t0 = time.perf_counter()
-    c = float(f(x0c, u0))
+    c, it = f(x0c, u0)
+    c = float(c)
     print(f"{name}: compile+run {time.perf_counter()-t0:.1f}s cost={c:.4f}", flush=True)
 
 for name, f in fns.items():
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        c = float(f(x0c, u0))
+        c, it = f(x0c, u0)
+        c = float(c)
         ts.append(time.perf_counter() - t0)
-    print(f"{name}: {min(ts)*1e3:.1f} ms  cost={c:.4f}", flush=True)
+    print(f"{name}: {min(ts)*1e3:.1f} ms  cost={c:.4f} iters={int(it)}", flush=True)

@@ -215,13 +215,17 @@ def main():
             s0 = ilqr_init(car.step, ccost, x0_, u0_)
             # time-parallel backward pass: 146 vs 187 ms at identical
             # cost (bench_car_parallel_riccati.py)
-            return ilqr_solve(car.step, car.get_AB, ccost.get_Cs, ccost,
-                              s0, cfg_i, riccati="parallel").cost
+            out = ilqr_solve(car.step, car.get_AB, ccost.get_Cs, ccost,
+                             s0, cfg_i, riccati="parallel")
+            return out.cost, out.iteration
 
     car_fn = jax.jit(car_solve)
     timed("iLQR car parking (N=500, parallel Riccati)", 3580.0,
           lambda: car_fn(x0c, u0),
-          oracle=lambda c: f"cost={float(c):.4f} (ref 0.9283)", reps=2)
+          oracle=lambda ci: (
+              f"cost={float(ci[0]):.4f} (ref 0.9283), "
+              f"{int(ci[1])} outers (ref 54)"
+          ), reps=2)
 
     # ---- 7. ilqr_admm car control bounds (ref 17400 ms)
     lo = jnp.asarray([-0.5, -2.0], f32)
@@ -407,11 +411,15 @@ def main():
         )
         return f"cost={c:.3e} (ref 2.68e-1), min clearance {clear:.3f}"
 
+    # use_qr: at plain f32 precision the TPU x-update brushes into
+    # obstacle 1 (clearance 0.061-0.097 < radius 0.10 across penalty
+    # scales; CPU f32 is fine) — the square-root x-update restores the
+    # CPU-grade iterate (cost 2.70e-1, clearance 0.107)
     ob_b = jax.jit(
         lambda x0: lqt_admm_batch(
             A2, B2, cost_ob, x0, project_x=proj_x_ob,
             rho_x=jnp.asarray(rho_x_ob),
-            cfg=ADMMConfig(max_iter=500, tol=1e-3),
+            cfg=ADMMConfig(max_iter=500, tol=1e-3), use_qr=True,
         )[:2]
     )
     timed("ADMM_LQT_Batch 2 spherical obstacles", 447.0,

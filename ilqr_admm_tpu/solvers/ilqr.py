@@ -93,7 +93,9 @@ def ilqr_iterate_dp(
     Cux cross terms are handled by per-step completion of squares.
     riccati='parallel' uses the associative-scan time-parallel pass
     (`ops/parallel_riccati.py::ilqr_backward_parallel`) — O(log N)
-    depth for long horizons.
+    depth for long horizons; 'parallel_fast' additionally turns on the
+    closed-form adjugate combine inverses (fast_inverse, d <= 4) and
+    the two-level blocked scan.
     Returns (new_state, accept, (K, k)).
     """
     A, B = get_AB(state.x_nom, state.u_nom)
@@ -102,10 +104,16 @@ def ilqr_iterate_dp(
         from ilqr_admm_tpu.ops.sqrt_riccati import ilqr_backward_sqrt
 
         K, k = ilqr_backward_sqrt(A, B, Cts, cts)
-    elif riccati == "parallel":
+    elif riccati in ("parallel", "parallel_fast"):
         from ilqr_admm_tpu.ops.parallel_riccati import ilqr_backward_parallel
 
-        K, k = ilqr_backward_parallel(A, B, Cts, cts)
+        if riccati == "parallel_fast":
+            K, k = ilqr_backward_parallel(
+                A, B, Cts, cts, block_size=128,
+                fast_inverse=A.shape[-1] <= 4,
+            )
+        else:
+            K, k = ilqr_backward_parallel(A, B, Cts, cts)
     else:
         K, k = ilqr_backward(A, B, Cts, cts)
 
@@ -241,6 +249,11 @@ def ilqr_solve(
     `isls.py:125-132`.
     """
     alphas = line_search_alphas(cfg, state0.x_nom.dtype)
+    if riccati not in ("chol", "sqrt", "parallel", "parallel_fast"):
+        raise ValueError(
+            "riccati must be 'chol', 'sqrt', 'parallel' or "
+            f"'parallel_fast', got {riccati!r}"
+        )
     if method == "dp":
         def iterate(*args):
             return ilqr_iterate_dp(*args, riccati=riccati)
