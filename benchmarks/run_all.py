@@ -213,10 +213,12 @@ def main():
     def car_solve(x0_, u0_):
         with jax.default_matmul_precision("highest"):
             s0 = ilqr_init(car.step, ccost, x0_, u0_)
-            # time-parallel backward pass: 146 vs 187 ms at identical
-            # cost (bench_car_parallel_riccati.py)
+            # parallel_fast backward (adjugate combine inverses +
+            # blocked scan): 89.5 vs 140 ms parallel vs 179 ms
+            # sequential at the identical 0.9283 golden
+            # (bench_car_parallel_riccati.py)
             out = ilqr_solve(car.step, car.get_AB, ccost.get_Cs, ccost,
-                             s0, cfg_i, riccati="parallel")
+                             s0, cfg_i, riccati="parallel_fast")
             return out.cost, out.iteration
 
     car_fn = jax.jit(car_solve)
