@@ -125,8 +125,17 @@ def _admm_kernel_u_only(
     hi = ub_ref[1, :]
 
     def one_iter(z_u, l_u, c):
-        # Standard scaled-ADMM step given c = (z_u - λ_u) @ Wu.
+        # Standard scaled-ADMM step given c = (z_u - λ_u) @ Wu. The
+        # over-relaxation blend folds away at trace time when alpha=1
+        # (the default): two fewer VPU ops per iteration in a VPU-bound
+        # kernel.
         u_hat = u_base + c
+        if alpha == 1.0:
+            # t = u_hat + λ reused for both the projection argument and
+            # the dual update (λ_new = t - z_new): one VPU op fewer
+            t = u_hat + l_u
+            z_new = jnp.clip(t, lo, hi)
+            return z_new, t - z_new, u_hat
         z_rel = alpha * u_hat + (1.0 - alpha) * z_u
         z_new = jnp.clip(z_rel + l_u, lo, hi)
         l_new = l_u + u_hat - z_new
@@ -205,12 +214,12 @@ def _admm_kernel(
         x_hat = free + _dot3(u_hat, SuT_hi_ref[:], SuT_lo_ref[:])
 
         if has_x:
-            z_rel = alpha * x_hat + (1.0 - alpha) * z_x
+            z_rel = x_hat if alpha == 1.0 else alpha * x_hat + (1.0 - alpha) * z_x
             z_x_new = jnp.clip(z_rel + l_x, xb_ref[0, :], xb_ref[1, :])
             l_x = l_x + x_hat - z_x_new
             z_x = z_x_new
         if has_u:
-            z_rel = alpha * u_hat + (1.0 - alpha) * z_u
+            z_rel = u_hat if alpha == 1.0 else alpha * u_hat + (1.0 - alpha) * z_u
             z_u_new = jnp.clip(z_rel + l_u, ub_ref[0, :], ub_ref[1, :])
             l_u = l_u + u_hat - z_u_new
             z_u = z_u_new
