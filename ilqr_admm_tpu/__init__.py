@@ -45,6 +45,7 @@ from ilqr_admm_tpu.chance import (
     calibrate,
     count_binding_rows,
     make_box_chance_projection,
+    make_state_box_chance_projection,
     per_row_confidence,
 )
 
@@ -57,6 +58,7 @@ __all__ = [
     "calibrate",
     "count_binding_rows",
     "make_box_chance_projection",
+    "make_state_box_chance_projection",
     "per_row_confidence",
     "LQTProblem",
     "QuadCost",

@@ -211,6 +211,63 @@ def make_box_chance_projection(
     return proj, cal
 
 
+def make_state_box_chance_projection(
+    var,
+    robust_dim: int,
+    N: int,
+    x_dim: int,
+    bounds: dict,
+    *,
+    joint_alpha: Optional[float] = None,
+    alpha_row: Optional[float] = None,
+    n_rows: Optional[int] = None,
+    method: str = "chi",
+    rho: float = 1e1,
+    max_iter: int = 20,
+    threshold: float = 1e-2,
+):
+    """Chance-constrained STATE box projection for `sls_admm`'s x-block.
+
+    The reference's state-bounds workflow (notebook c16-17) hand-builds
+    SOC data per constrained state row; this helper takes a spec
+
+        bounds = {(t, i): (lower, upper), ...}
+
+    mapping (timestep, state-coordinate) to bounds (use lower == upper
+    for an equality pin, e.g. a terminal state — the SOC then forces the
+    feedforward to the pin and zeroes the row's uncertainty response),
+    and returns ``proj(y)`` over the (N*x_dim, robust_dim+1) x-block:
+    constrained rows are projected onto their SOC intersection,
+    unconstrained rows pass through.
+
+    Calibration semantics identical to `make_box_chance_projection`
+    (default chi ball over the shared initial-state uncertainty; the
+    certificate covers the state rows and any control rows tightened
+    with the SAME psi, since one ball event implies all of them).
+    """
+    sides_max = 2
+    cal = calibrate(joint_alpha, alpha_row, n_rows or len(bounds),
+                    sides_max, method, robust_dim=robust_dim)
+
+    row_projs = []
+    for (t, i), (lower, upper) in sorted(bounds.items()):
+        if not (0 <= t < N and 0 <= i < x_dim):
+            raise ValueError(f"row ({t}, {i}) outside (N={N}, x_dim={x_dim})")
+        As, bs, projs = soc_box_rows(var, robust_dim, lower, upper, cal.psi_inv)
+        row_projs.append((t * x_dim + i, As, bs, projs))
+
+    def proj(y):
+        for idx, As, bs, projs in row_projs:
+            row = project_set_convex(
+                y[idx : idx + 1], As, bs, projs,
+                rho=rho, max_iter=max_iter, threshold=threshold,
+            )
+            y = y.at[idx : idx + 1].set(row)
+        return y
+
+    return proj, cal
+
+
 def count_binding_rows(
     ff_abs, phi, var, lower=None, upper=None, psi_inv: float = 0.0,
     slack: float = 0.25,

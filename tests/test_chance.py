@@ -122,6 +122,38 @@ class TestProjectionGeometry:
         spread = np.sqrt(var) * abs(out[0, 1])
         assert ff_abs <= hi - cal.psi_inv * spread + 5e-2
 
+    def test_state_box_projection_rows(self, rng):
+        """State-block helper: constrained rows land in their SOC sets
+        (equality pins force [target | 0...0]), others pass through."""
+        from ilqr_admm_tpu.chance import make_state_box_chance_projection
+
+        N, d, p, var = 10, 2, 1, 0.02
+        proj, cal = make_state_box_chance_projection(
+            var, p, N, d,
+            {(N - 1, 0): (0.5, 0.5), (N - 1, 1): (0.0, 0.0),
+             (3, 0): (-1.0, 1.0)},
+            joint_alpha=0.9, max_iter=100, threshold=1e-4,
+        )
+        y = jnp.asarray(rng.normal(size=(N * d, p + 1)) * 2.0)
+        out = np.asarray(proj(y))
+        # untouched rows pass through
+        mask = np.ones(N * d, bool)
+        for idx in ((N - 1) * d, (N - 1) * d + 1, 3 * d):
+            mask[idx] = False
+        np.testing.assert_allclose(out[mask], np.asarray(y)[mask])
+        # equality pins: feedforward -> target, response -> ~0
+        np.testing.assert_allclose(out[(N - 1) * d], [0.5, 0.0], atol=2e-2)
+        np.testing.assert_allclose(out[(N - 1) * d + 1], [0.0, 0.0], atol=2e-2)
+        # box row satisfies its z-score
+        ff, phi = out[3 * d, 0], out[3 * d, 1]
+        spread = np.sqrt(var) * abs(phi)
+        assert min(1.0 - ff, ff + 1.0) >= cal.psi_inv * spread - 5e-2
+        # bad row spec raises
+        with pytest.raises(ValueError):
+            make_state_box_chance_projection(
+                var, p, N, d, {(N, 0): (0.0, 1.0)}, joint_alpha=0.9
+            )
+
     def test_count_binding_rows(self):
         ff = np.asarray([0.0, 5.9, -5.9, 3.0])
         phi = np.asarray([[1.0], [0.05], [0.05], [0.0]])

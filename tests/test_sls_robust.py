@@ -166,22 +166,18 @@ def test_joint_calibrated_one_call():
     infeasibility — joint MC collapses. The default chi certificate
     (psi=1.96 at p=1) is both sound and feasible.
     """
+    from ilqr_admm_tpu.chance import make_state_box_chance_projection
+
     plant, A, B, cost = _problem()
     d = plant.x_dim
-    psi_term = float(norm.ppf(0.9))
 
-    As_xf, bs_xf = _soc_pair(psi_term, X_FINAL, X_FINAL, VAR_X0)
-    As_vf, bs_vf = _soc_pair(psi_term, 0.0, 0.0, VAR_X0)
-    projs = [project_soc_unit, project_soc_unit]
-
-    def proj_x_rob(y):
-        pos_row = project_set_convex(
-            y[-2:-1], As_xf, bs_xf, projs, rho=1e1, max_iter=20, threshold=1e-2
-        )
-        vel_row = project_set_convex(
-            y[-1:], As_vf, bs_vf, projs, rho=1e1, max_iter=20, threshold=1e-2
-        )
-        return y.at[-2:-1].set(pos_row).at[-1:].set(vel_row)
+    # terminal pin through the library's state-chance helper (equality
+    # rows degenerate to [target | 0] regardless of the level)
+    proj_x_rob, _ = make_state_box_chance_projection(
+        VAR_X0, 1, N, d,
+        {(N - 1, 0): (X_FINAL, X_FINAL), (N - 1, 1): (0.0, 0.0)},
+        joint_alpha=0.95,
+    )
 
     rho_x_r = np.zeros((N, d, d))
     rho_x_r[-1] = np.eye(d) * 1e3
