@@ -104,6 +104,11 @@ def main():
         np.asarray(phi1), axis=-1)
     print(f"max chance-constraint margin {margin.max():.3f} (bound {upper_u}); "
           f"violating rows: {(margin > upper_u + 1e-6).sum()}")
+    print("note: this mirrors the reference's PER-ROW workflow — its "
+          "reported 95.8 % joint rate is an under-converged-iterate "
+          "artifact of the 0.82/row level. For a guaranteed JOINT level "
+          "in one call, see examples/robust_joint_calibration.py "
+          "(joint_alpha=0.958 -> measured 99.2 %).")
 
 
 if __name__ == "__main__":
