@@ -10,8 +10,9 @@ communication, so efficiency measures runtime/compiler overheads, not
 algorithmic ones.
 
 Usage:
-    python benchmarks/bench_scaling.py            # all device counts
-    python benchmarks/bench_scaling.py --cpu8     # force 8 virtual CPU devs
+    python benchmarks/bench_scaling.py                    # LQT-ADMM workload
+    python benchmarks/bench_scaling.py --workload boxddp  # nonlinear DP fleet
+    python benchmarks/bench_scaling.py --cpu8             # 8 virtual CPU devs
 
 On real hardware (a pod slice) run it as-is: it sweeps every power-of-two
 mesh size the runtime exposes and prints one JSON line with the curve +
@@ -29,10 +30,8 @@ import time
 import numpy as np
 
 
-def main(per_chip: int = 2048, admm_iters: int = 100):
-    import jax
+def _lqt_workload(admm_iters: int):
     import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P
 
     from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
     from ilqr_admm_tpu.projections import project_bound
@@ -48,14 +47,60 @@ def main(per_chip: int = 2048, admm_iters: int = 100):
     seq[-1] = 1
     cost = viapoint_cost(zs, Qs, seq, 1e-2, m)
     A, B = plant.AB(N)
-    A = A.astype(jnp.float32)
-    B = B.astype(jnp.float32)
-
     solve = make_batched_lqt_admm(
-        A, B, cost,
+        A.astype(jnp.float32), B.astype(jnp.float32), cost,
         project_u=lambda u: project_bound(u, -5.0, 5.0),
         rho_u=1e-1, n_iters=admm_iters,
     )
+    def sample(rng, n):
+        return jnp.asarray(rng.normal(0.0, 0.1, size=(n, d)), jnp.float32)
+
+    return solve, sample, admm_iters, "weak_scaling_admm_iters_per_s_per_chip_N100"
+
+
+def _boxddp_workload(max_iter: int = 30):
+    """Nonlinear fleet workload: full boxDDP car solves (N=100)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ilqr_admm_tpu.models.car import CarFrontWheel, CarParkingCost
+    from ilqr_admm_tpu.problem import ILQRConfig
+    from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
+
+    N = 100
+    car = CarFrontWheel(dt=15.0 / N)
+    cost = CarParkingCost()
+    lo = jnp.asarray([-0.5, -2.0], jnp.float32)
+    hi = jnp.asarray([0.5, 2.0], jnp.float32)
+    u0 = jnp.zeros((N, 2), jnp.float32)
+    cfg = ILQRConfig(max_iter=max_iter, tol_fun=1e-6)
+
+    def solve(x0s):
+        def one(x0):
+            st0 = boxddp_init(car.step, cost, x0, u0, lo, hi)
+            out = boxddp_solve(car.step, car.get_AB, cost.get_Cs, cost,
+                               st0, lo, hi, cfg=cfg)
+            return out.cost, out.u_nom
+
+        return jax.vmap(one)(x0s)
+
+    def sample(rng, n):
+        base = np.array([1.0, 1.0, 3.0 * np.pi / 2, 0.0])
+        return jnp.asarray(base + rng.normal(0, 0.05, (n, 4)), jnp.float32)
+
+    return solve, sample, max_iter, "weak_scaling_boxddp_solve_iters_per_s_per_chip_N100"
+
+
+def main(per_chip: int = 2048, admm_iters: int = 100, workload: str = "lqt"):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if workload == "boxddp":
+        per_chip = min(per_chip, 256)  # full DP solves are ~1000x heavier
+        solve, sample, admm_iters, metric = _boxddp_workload()
+    else:
+        solve, sample, admm_iters, metric = _lqt_workload(admm_iters)
 
     devices = jax.devices()
     sizes = [k for k in (1, 2, 4, 8, 16, 32, 64, 128) if k <= len(devices)]
@@ -70,19 +115,17 @@ def main(per_chip: int = 2048, admm_iters: int = 100):
                 check_vma=False,
             )
         )
-        x0s = jnp.asarray(
-            rng.normal(0.0, 0.1, size=(per_chip * k, d)), jnp.float32
-        )
+        x0s = sample(rng, per_chip * k)
         # warmup/compile, then readback-terminated timing windows
         u = sharded(x0s)[1]
-        _ = float(u[0, 0])
+        _ = float(jnp.ravel(u)[0])
         reps, K = 3, 10
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             for _ in range(K):
                 u = sharded(x0s)[1]
-            _ = float(u[0, 0])
+            _ = float(jnp.ravel(u)[0])
             times.append((time.perf_counter() - t0) / K)
         dt = min(times)
         iters_per_s = per_chip * k * admm_iters / dt
@@ -101,7 +144,7 @@ def main(per_chip: int = 2048, admm_iters: int = 100):
     print(
         json.dumps(
             {
-                "metric": "weak_scaling_admm_iters_per_s_per_chip_N100",
+                "metric": metric,
                 "backend": jax.default_backend(),
                 "per_chip_batch": per_chip,
                 "admm_iters": admm_iters,
@@ -113,6 +156,8 @@ def main(per_chip: int = 2048, admm_iters: int = 100):
 
 
 if __name__ == "__main__":
+    _wl = "boxddp" if "--workload" in sys.argv and \
+        sys.argv[sys.argv.index("--workload") + 1] == "boxddp" else "lqt"
     if "--cpu8" in sys.argv:
         import jax
 
@@ -124,4 +169,4 @@ if __name__ == "__main__":
             "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
         )
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
-    main()
+    main(workload=_wl)
