@@ -86,3 +86,28 @@ def test_build_Sx_is_Sw_prefix(sys):
     Sw = np.asarray(build_Sw(A))
     Sx = np.asarray(build_Sx(A, 2)).reshape(-1, 2)
     np.testing.assert_allclose(Sx, Sw[:, :2], atol=1e-12)
+
+
+def test_build_su_blocked_matches_sequential(rng):
+    """Two-level blocked build_Su == the sequential row recursion, over
+    divisible/indivisible horizons and explicit block sizes (exact up to
+    fp reassociation)."""
+    from ilqr_admm_tpu.ops.lifted import _build_Su_seq, build_Su
+
+    for (N, d, m) in ((96, 2, 1), (100, 4, 2), (37, 3, 2), (8, 2, 1)):
+        A = jnp.asarray(np.eye(d) + rng.normal(size=(N, d, d)) * 0.05)
+        B = jnp.asarray(rng.normal(size=(N, d, m)) * 0.3)
+        ref = np.asarray(_build_Su_seq(A, B))
+        np.testing.assert_allclose(np.asarray(build_Su(A, B)), ref,
+                                   atol=1e-10)
+        if N % 8 == 0:
+            np.testing.assert_allclose(
+                np.asarray(build_Su(A, B, block_size=8)), ref, atol=1e-10
+            )
+    # block_size=0 forces the sequential path
+    A = jnp.asarray(np.eye(2) + rng.normal(size=(96, 2, 2)) * 0.05)
+    B = jnp.asarray(rng.normal(size=(96, 2, 1)) * 0.3)
+    np.testing.assert_allclose(
+        np.asarray(build_Su(A, B, block_size=0)),
+        np.asarray(_build_Su_seq(A, B)), atol=0,
+    )
