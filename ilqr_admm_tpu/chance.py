@@ -106,6 +106,13 @@ def calibrate(
     if (joint_alpha is None) == (alpha_row is None):
         raise ValueError("pass exactly one of joint_alpha / alpha_row")
     if joint_alpha is None:
+        if not 0.5 < alpha_row < 1.0:
+            # psi_inv = Psi^-1(alpha_row) must be > 0: soc_box_rows divides
+            # by it, so alpha_row <= 0.5 would silently build sign-flipped
+            # (psi_inv < 0) or inf/NaN (psi_inv = 0) SOC sets.
+            raise ValueError(
+                f"alpha_row must be in (0.5, 1), got {alpha_row}"
+            )
         k = int(n_rows or 0) * int(sides)
         return ChanceCalibration(
             alpha_row=float(alpha_row),

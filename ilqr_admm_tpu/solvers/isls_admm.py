@@ -95,8 +95,11 @@ def _isls_admm_impl(
             joint_alpha=joint_alpha, n_rows=N * m, method=chance_method,
             shifted=True,
         )
+    # Mirror sls_admm's default: z-side controller only when no x-block
+    # exists — with a state projection, the u-side z-iterate alone is not
+    # dynamics-consistent with the x-side constraints.
     if feasible_iterate is None:
-        feasible_iterate = joint_alpha is not None
+        feasible_iterate = joint_alpha is not None and project_x is None
     validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
     if alphas is None:
         alphas = 10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=dtype)[:20]

@@ -163,3 +163,18 @@ class TestProjectionGeometry:
         assert n == 1  # floor: max(n, 1)
         n2 = count_binding_rows(ff, phi * 20.0, 0.1, -6.0, 6.0, psi_inv=2.0)
         assert n2 >= 3
+
+
+def test_direct_alpha_row_must_exceed_half():
+    """alpha_row <= 0.5 would give psi_inv <= 0 and silently sign-flip /
+    NaN the SOC sets built by soc_box_rows (ADVICE r3)."""
+    from ilqr_admm_tpu.chance import calibrate, make_box_chance_projection
+
+    for bad in (0.5, 0.3, 0.0, -1.0):
+        with pytest.raises(ValueError, match="alpha_row"):
+            calibrate(alpha_row=bad, n_rows=10)
+        with pytest.raises(ValueError, match="alpha_row"):
+            make_box_chance_projection(0.1, 2, -1.0, 1.0, alpha_row=bad)
+    # valid direct levels still pass
+    cal = calibrate(alpha_row=0.9, n_rows=10)
+    assert cal.psi_inv > 0

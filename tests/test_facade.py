@@ -257,3 +257,42 @@ def test_compute_cost_shape_dispatch():
     sls = SLS(2, 1, 5)
     with pytest.raises(ValueError, match="stacked"):
         sls.compute_cost(np.zeros((3, 7)))
+
+
+def test_u_optimal_x_optimal_against_lifted_definition():
+    """Facade `u_optimal`/`x_optimal` (`sls_base.py:56-60`): response-map
+    evaluation must reproduce the batch optimum through the lifted
+    operators u = PHI_U[:, :d] x0 + du, x = (Sw + Su PHI_U) x0 + Su du."""
+    N, d, u_dim = 40, 2, 1
+    A, B = get_double_integrator_AB(1, nb_deriv=2, dt=1.0 / N)
+    sls = SLS(d, u_dim, N)
+    sls.AB = [A, B]
+    zs = np.stack([np.zeros(d), np.array([1.0, 0.0])])
+    Qs = np.stack([np.zeros((d, d)), np.eye(d) * 1e6])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    sls.set_quadratic_cost(zs, Qs, seq, 1e-2)
+
+    x0 = np.array([0.3, -0.2])
+    x_b, u_b = sls.solve(x0, method="batch")
+    PHI_U, du = sls.solve(method="sls")
+
+    # u_optimal == batch optimum (final control unused => dropped)
+    u_sls = np.asarray(sls.u_optimal(jnp.asarray(x0), PHI_U, du))
+    assert u_sls.shape == (N - 1, u_dim)
+    np.testing.assert_allclose(u_sls, np.asarray(u_b)[:-1], atol=1e-6)
+
+    # x_optimal with PHI_X = Sw + Su PHI_U, dx = Su du == batch optimum
+    Sw, Su = np.asarray(sls.Sw), np.asarray(sls.Su)
+    PHI_X = Sw + Su @ np.asarray(PHI_U)
+    dx = Su @ np.asarray(du).reshape(-1)
+    x_sls = np.asarray(sls.x_optimal(jnp.asarray(x0), jnp.asarray(PHI_X), jnp.asarray(dx)))
+    assert x_sls.shape == (N, d)
+    np.testing.assert_allclose(x_sls, np.asarray(x_b), atol=1e-6)
+
+    # shape/meaning parity for a batch of zeros: from the origin the
+    # response maps produce exactly the feedforward trajectories
+    np.testing.assert_allclose(
+        np.asarray(sls.u_optimal(jnp.zeros(d), PHI_U, du)),
+        np.asarray(du).reshape(N, u_dim)[:-1], atol=0,
+    )
