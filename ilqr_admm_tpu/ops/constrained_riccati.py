@@ -116,40 +116,49 @@ def ilqr_backward_box_parallel(
     u_upper,
     reg: float | jax.Array = 0.0,
     eps: float = 1e-6,
-    mask_iters: int = 2,
+    mask_iters: int = 3,
+    clamp0=None,
+    return_clamp: bool = False,
 ):
-    """Time-parallel boxDDP backward pass via active-set freezing.
+    """Time-parallel boxDDP backward pass: trajectory-wide active-set
+    iteration where every pass is an associative scan (O(log N) depth).
 
     The exact box-QP recursion (`ilqr_backward_box`) is inherently
     sequential — each stage's clamped set depends on the cost-to-go.
-    This variant replaces it with TWO associative-scan passes
-    (`ops/parallel_riccati.py::ilqr_backward_parallel`, O(log N) depth):
+    This variant solves the SAME clamped-subspace model by iterating an
+    active-set exchange over the whole horizon at once:
 
-    1. an unconstrained pass whose feedforward k_unc estimates, per
-       stage, which bound-riding controls the Newton step pushes
-       *outward* (the same test boxQP's KKT check applies at its
-       solution);
-    2. a masked pass on the frozen free subspace: clamped control dims
-       are removed from the model (B columns zeroed, Cuu rows/cols
-       replaced by identity filler, Cux/cu rows zeroed), so their
-       du = 0 — EXACT because the nominal is feasible (clipped
-       rollouts) and a dim is only frozen when it sits ON its bound,
-       making the clamped increment offset zero.
+    1. an unconstrained pass seeds, per stage, which control increments
+       cross their box (clamp at the crossed bound);
+    2. each clamped dim is frozen at its bound OFFSET c = bound - u_nom
+       (nonzero for strictly-inside dims — the round-3 zero-offset
+       freezing mis-modeled exactly those and plateaued above the
+       optimum). The frozen controls become an affine dynamics drift
+       d_t = B_t c_t (`ilqr_backward_parallel(drift=...)`) plus linear
+       stage-cost shifts; the remaining free subspace is a standard
+       parallel Riccati pass. Given the active set, this model is
+       IDENTICAL to the sequential box-QP recursion's clamped-subspace
+       model, so a mask fixed point reproduces `ilqr_backward_box`'s
+       solution exactly;
+    3. between passes the set is exchanged primal-dually at the masked
+       solution: clamped dims release on a wrong-sign multiplier
+       g_t = qu_t + Quu_t k_t (their KKT test; free dims have g = 0 by
+       construction), free dims clamp when their step crosses a bound.
 
-    The mask is one iteration stale in the same sense projected-Newton's
-    first active-set estimate is; the boxDDP line search + LM
-    regularization schedule (solvers/boxddp.py) globalizes exactly as
-    with the sequential pass. Returns (K (N,m,d), k (N,m)) with zero
-    feedback on clamped rows; forward rollouts clip as usual.
+    `box_kkt_residual` provides the independent sequential certificate.
+    The boxDDP line search + LM regularization schedule
+    (solvers/boxddp.py) globalizes exactly as with the sequential pass.
+    Returns (K (N,m,d), k (N,m)): k carries the bound offsets on clamped
+    dims (like boxQP's solution), K is zero on clamped rows; forward
+    rollouts clip as usual.
 
-    STATUS — experimental approximation. On lightly saturated problems
-    it tracks the exact pass; on the heavily saturated car-parking task
-    (~45 % of controls at bounds) the stale masks slow the outer loop
-    and it plateaus ~1.1-1.4x above the exact sequential pass's final
-    cost (measured: 1.995 vs 1.905 at N=500/250 iters with
-    mask_iters=4; 0.50 vs 0.37 at N=100). Use the sequential
-    `ilqr_backward_box` when solution quality is the bar and this
-    variant when backward-pass latency at very long horizons dominates.
+    The Jacobi-style exchange moves only a few set entries per pass
+    (a set change at stage t invalidates the cost-to-go every EARLIER
+    stage saw), so cold-started it needs many passes on heavily
+    saturated problems. `clamp0=(clamp_lo, clamp_hi)` warm-starts the
+    set — across boxDDP outer iterations the set stabilizes after a few
+    outers, making 1-3 passes sufficient (solvers/boxddp.py carries it).
+    `return_clamp=True` additionally returns the post-exchange set.
     """
     from ilqr_admm_tpu.ops.parallel_riccati import ilqr_backward_parallel
 
@@ -158,7 +167,6 @@ def ilqr_backward_box_parallel(
     dtype = A.dtype
     lo = jnp.broadcast_to(jnp.asarray(u_lower, dtype), (m,))
     hi = jnp.broadcast_to(jnp.asarray(u_upper, dtype), (m,))
-    tol = eps * (1.0 + jnp.maximum(jnp.abs(lo), jnp.abs(hi)))
 
     # reg may be a traced scalar (the boxDDP LM schedule) — apply
     # unconditionally (zero adds nothing)
@@ -166,38 +174,149 @@ def ilqr_backward_box_parallel(
         jnp.asarray(reg, dtype) * jnp.eye(m, dtype=dtype)[None]
     )
 
-    at_lo = u_nom <= lo[None] + tol[None]
-    at_hi = u_nom >= hi[None] - tol[None]
+    dlo = lo[None] - u_nom  # (N, m) increment bounds
+    dhi = hi[None] - u_nom
+    Cuu_full = Cts[:, d:, d:]
+    Cux_full = Cts[:, d:, :d]
+    cu_full = cts[:, d:]
+    fast = d <= 4  # adjugate combine/gain inverses (see inv_small)
 
-    def masked_pass(free):
-        F = free.astype(dtype)
+    def masked_pass(clamp_lo, clamp_hi):
+        clamp = clamp_lo | clamp_hi
+        F = (~clamp).astype(dtype)
+        c = jnp.where(clamp_lo, dlo, jnp.where(clamp_hi, dhi, 0.0))
+        c = c.at[-1].set(0.0)  # terminal controls unused by convention
+
+        # frozen increments -> affine drift + linear-cost shifts
+        drift = jnp.einsum("tij,tj->ti", B, c)
+        cu_eff = (cu_full + jnp.einsum("tij,tj->ti", Cuu_full, c)) * F
+        cx_eff = cts[:, :d] + jnp.einsum("tji,tj->ti", Cux_full, c)
+
         B_eff = B * F[:, None, :]
-        Cuu = Cts[:, d:, d:]
         Cuu_eff = (
-            Cuu * F[:, :, None] * F[:, None, :]
+            Cuu_full * F[:, :, None] * F[:, None, :]
             + jnp.eye(m, dtype=dtype)[None] * (1.0 - F)[:, :, None]
         )
         Cts_eff = Cts.at[:, d:, d:].set(Cuu_eff)
-        Cts_eff = Cts_eff.at[:, d:, :d].set(Cts[:, d:, :d] * F[:, :, None])
+        Cts_eff = Cts_eff.at[:, d:, :d].set(Cux_full * F[:, :, None])
         Cts_eff = Cts_eff.at[:, :d, d:].set(Cts[:, :d, d:] * F[:, None, :])
-        cts_eff = cts.at[:, d:].set(cts[:, d:] * F)
-        K, k = ilqr_backward_parallel(A, B_eff, Cts_eff, cts_eff)
-        return K * F[:, :, None], k * F
+        cts_eff = jnp.concatenate([cx_eff, cu_eff], axis=-1)
+        K, k, J, eta = ilqr_backward_parallel(
+            A, B_eff, Cts_eff, cts_eff, return_value=True, drift=drift,
+            fast_inverse=fast,
+        )
+        return K * F[:, :, None], k * F + c, J, eta
 
-    # active-set fixed point: pass i's feedforward refines the frozen
-    # set for pass i+1 (each pass is O(log N); the set usually settles
-    # in 2-3). Pass 0 estimates from the unconstrained direction.
-    _, k_est = ilqr_backward_parallel(A, B, Cts, cts)
+    def exchange(clamp_lo, clamp_hi, k, J, eta):
+        """Primal-dual active-set update at the masked solution.
+
+        Batched over stages (no sequential dependence): the masked
+        cost-to-go is the data, the update is per-stage algebra. Free
+        dims satisfy g = 0 at the masked solution by construction, so
+        the gradient test is only informative for CLAMPED dims (it is
+        their multiplier estimate): release on wrong multiplier sign.
+        Free dims clamp when their masked step crosses a bound.
+        """
+        # broadcast-multiply-sum matmuls: tiny batched HIGHEST dot_generals
+        # lower pathologically on TPU (see parallel_riccati._bmm)
+        bmm = lambda a, b: jnp.sum(a[..., :, :, None] * b[..., None, :, :], -2)
+        Jn, etan = J[1:], eta[1:]  # V_{t+1} for t = 0..N-2
+        BT = jnp.swapaxes(B[:-1], -1, -2)
+        qu = cu_full[:-1] - jnp.sum(BT * etan[:, None, :], axis=-1)
+        Quu = Cuu_full[:-1] + bmm(bmm(BT, Jn), B[:-1])
+        g = qu + jnp.sum(Quu * k[:-1][:, None, :], axis=-1)
+        g = jnp.concatenate([g, jnp.zeros((1, m), dtype)], axis=0)
+        clamp = clamp_lo | clamp_hi
+        new_lo = (clamp_lo & (g >= 0)) | (~clamp & (k <= dlo))
+        new_hi = (clamp_hi & (g <= 0)) | (~clamp & (k >= dhi))
+        return new_lo, new_hi
+
+    # seed from the warm-started set when given, else from the
+    # unconstrained step; then iterate the exchange (each pass O(log N))
+    if clamp0 is None:
+        _, k_unc = ilqr_backward_parallel(A, B, Cts, cts, fast_inverse=fast)
+        clamp_lo = k_unc <= dlo
+        clamp_hi = k_unc >= dhi
+    else:
+        clamp_lo, clamp_hi = clamp0
     K = k = None
     for _ in range(max(1, mask_iters)):
-        free = ~((at_lo & (k_est < 0)) | (at_hi & (k_est > 0)))  # (N, m)
-        K, k = masked_pass(free)
-        # refreeze test uses the *constrained* step next round; frozen
-        # dims keep their previous (outward) direction so they can only
-        # be released by an inward unconstrained pull — re-estimate that
-        # from the free-pass result where free, k_est's sign where not
-        k_est = jnp.where(free, k, k_est)
+        K, k, J, eta = masked_pass(clamp_lo, clamp_hi)
+        clamp_lo, clamp_hi = exchange(clamp_lo, clamp_hi, k, J, eta)
+    if return_clamp:
+        return K, k, (clamp_lo, clamp_hi)
     return K, k
+
+
+@highest_precision
+def box_kkt_residual(
+    A: jax.Array,
+    B: jax.Array,
+    Cts: jax.Array,
+    cts: jax.Array,
+    u_nom: jax.Array,
+    u_lower,
+    u_upper,
+    reg: float | jax.Array = 0.0,
+    eps: float = 1e-6,
+):
+    """Sequential-backward KKT residual of a nominal trajectory.
+
+    Runs the exact sequential box-QP recursion (`ilqr_backward_box`
+    semantics, qp_method='enum'-grade V propagation) and measures how
+    far the NOMINAL (delta_u = 0) is from each stage's box-QP optimality
+    conditions given the constrained cost-to-go:
+
+        free dims (strictly inside the box): |qu_t|
+        dims at the lower bound:             max(0, -qu_t)
+        dims at the upper bound:             max(0,  qu_t)
+
+    Returns the max over all stages/dims — the certificate that an
+    accepted solution (e.g. from the time-parallel backward) satisfies
+    the sequential backward's KKT conditions. Zero iff the trajectory
+    is a stationary point of the control-limited problem's DP model.
+    """
+    d = A.shape[-1]
+    m = B.shape[-1]
+    dtype = A.dtype
+    lo = jnp.broadcast_to(jnp.asarray(u_lower, dtype), (m,))
+    hi = jnp.broadcast_to(jnp.asarray(u_upper, dtype), (m,))
+    tol = eps * (1.0 + jnp.maximum(jnp.abs(lo), jnp.abs(hi)))
+
+    V_term = Cts[-1][:d, :d]
+    v_term = cts[-1][:d]
+
+    def step(carry, inp):
+        V, v = carry
+        At, Bt, Ct, ct, ut = inp
+        Cxx = Ct[:d, :d]
+        Cuu = Ct[d:, d:]
+        Cux = Ct[d:, :d]
+        cx = ct[:d]
+        cu = ct[d:]
+
+        qx = cx + At.T @ v
+        qu = cu + Bt.T @ v
+        Qxx = Cxx + At.T @ V @ At
+        Qux = Cux + Bt.T @ V @ At
+        Quu = _sym(Cuu + Bt.T @ V @ Bt + reg * jnp.eye(m, dtype=dtype))
+
+        at_lo = ut <= lo + tol
+        at_hi = ut >= hi - tol
+        r = jnp.where(
+            at_lo, jnp.maximum(0.0, -qu),
+            jnp.where(at_hi, jnp.maximum(0.0, qu), jnp.abs(qu)),
+        )
+
+        kt, free = boxqp_enum(Quu, qu, lo - ut, hi - ut)
+        Kt = _masked_solve(Quu, free, -Qux)
+        V_new = Qxx + Qux.T @ Kt + Kt.T @ Qux + Kt.T @ Quu @ Kt
+        v_new = qx + Qux.T @ kt + Kt.T @ qu + Kt.T @ Quu @ kt
+        return (V_new, v_new), jnp.max(r)
+
+    xs = (A[:-1], B[:-1], Cts[:-1], cts[:-1], u_nom[:-1])
+    _, r = lax.scan(step, (V_term, v_term), xs, reverse=True)
+    return jnp.max(r)
 
 
 @highest_precision

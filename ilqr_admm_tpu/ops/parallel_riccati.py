@@ -304,14 +304,21 @@ def value_elements(
     return value_elements_general(A, B, X, eta_all, U, s, fast_inverse=fast_inverse)
 
 
-def value_elements_general(A, B, X, eta_all, U, s, fast_inverse: bool = False):
+def value_elements_general(
+    A, B, X, eta_all, U, s, fast_inverse: bool = False, drift=None
+):
     """Scan elements from a general stage-quadratic model (no cross terms):
 
         cost_t = (1/2) x' X_t x - eta_t' x + (1/2) u' U_t u - s_t' u
 
     (i.e. eta = -cx, s = -cu in the `get_Cs` Taylor convention). The
     LQT entry point `value_elements` reduces to this with
-    eta = 2 Q xd + 2 Qr xr, s = 2 Rr ur."""
+    eta = 2 Q xd + 2 Qr xr, s = 2 Rr ur.
+
+    drift: optional (N, d) affine dynamics term x_{t+1} = A x + B u + d_t
+    (terminal row unused). It enters only the b element — `_combine`
+    already propagates b into downstream eta/J — plus a qu correction in
+    `gains_from_scanned` (pass the same drift there)."""
     N, d = A.shape[0], A.shape[-1]
     dtype = A.dtype
 
@@ -325,6 +332,8 @@ def value_elements_general(A, B, X, eta_all, U, s, fast_inverse: bool = False):
         Uinv_BT = jnp.linalg.solve(U[:-1], jnp.swapaxes(B[:-1], -1, -2))
     elem_A = A[:-1]
     elem_b = jnp.einsum("tij,tj->ti", B[:-1], Uinv_s)
+    if drift is not None:
+        elem_b = elem_b + drift[:-1]
     elem_C = B[:-1] @ Uinv_BT
     elem_eta = eta_all[:-1]
     elem_J = X[:-1]
@@ -341,19 +350,27 @@ def value_elements_general(A, B, X, eta_all, U, s, fast_inverse: bool = False):
     return elems, U, s
 
 
-def gains_from_scanned(A, B, U, s, scanned, fast_inverse: bool = False) -> DPGains:
+def gains_from_scanned(
+    A, B, U, s, scanned, fast_inverse: bool = False, drift=None
+) -> DPGains:
     """Per-step gain extraction from scanned value functions
     V_{t+1} = (J_{t+1}, eta_{t+1}); embarrassingly parallel over t.
 
     fast_inverse: batched adjugate inverses of the (m, m) Quu blocks
     (m <= 4) instead of per-step Cholesky — at long horizons the batched
-    tiny-Cholesky is a bottleneck (~6 ms of the N=10k solve)."""
+    tiny-Cholesky is a bottleneck (~6 ms of the N=10k solve).
+
+    drift: the same (N, d) affine dynamics term passed to
+    `value_elements_general` — shifts qu by B' J_{t+1} d_t."""
     m = B.shape[-1]
     d = A.shape[-1]
     dtype = A.dtype
     J_all, eta_val = scanned[4], scanned[3]
     Jn = J_all[1:]  # (N-1, d, d)
     etan = eta_val[1:]
+    if drift is not None:
+        # qu = -s + B'(J_{t+1} d - eta_{t+1}): fold the drift into eta
+        etan = etan - jnp.einsum("tij,tj->ti", Jn, drift[:-1])
 
     if fast_inverse:
         BT = jnp.swapaxes(B[:-1], -1, -2)
@@ -425,6 +442,8 @@ def ilqr_backward_parallel(
     cts: jax.Array,
     block_size: Optional[int] = None,
     fast_inverse: bool = False,
+    return_value: bool = False,
+    drift=None,
 ):
     """Time-parallel iLQR Riccati over a general quadratic cost model.
 
@@ -444,20 +463,31 @@ def ilqr_backward_parallel(
 
     Jitted (see `lqt_backward_parallel`: eager dispatch of the scan
     combinator is 4x slower to first result, 600x on repeats).
+
+    return_value=True additionally returns the per-stage cost-to-go
+    (J (N,d,d), eta (N,d)) with V_t(x) = (1/2) x' J_t x - eta_t' x —
+    invariant under the internal completion-of-squares substitution
+    (it reparameterizes u, not x), so these are the value functions of
+    the original model. Consumers: the box-constrained active-set
+    refinement (`ops/constrained_riccati.py`).
     """
     if fast_inverse and A.shape[-1] > 4:
         raise ValueError(
             f"fast_inverse=True supports state dim <= 4 (got d={A.shape[-1]})"
         )
     return _ilqr_backward_parallel_impl(
-        A, B, Cts, cts, block_size=block_size, fast_inverse=fast_inverse
+        A, B, Cts, cts, drift, block_size=block_size,
+        fast_inverse=fast_inverse, return_value=return_value,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "fast_inverse"))
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "fast_inverse", "return_value")
+)
 @highest_precision
 def _ilqr_backward_parallel_impl(
-    A, B, Cts, cts, *, block_size, fast_inverse
+    A, B, Cts, cts, drift=None, *, block_size, fast_inverse,
+    return_value=False
 ):
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
@@ -493,7 +523,7 @@ def _ilqr_backward_parallel_impl(
     cx_t = cx - jnp.einsum("tji,tj->ti", Kc, cu)  # cx - Kc' cu
 
     elems, U, s = value_elements_general(
-        A_t, B, X, -cx_t, Cuu, -cu, fast_inverse=fast_inverse
+        A_t, B, X, -cx_t, Cuu, -cu, fast_inverse=fast_inverse, drift=drift
     )
     # materialize the scan elements: without this barrier XLA fuses the
     # completion-of-squares prelude INTO the scan body and recomputes it
@@ -507,6 +537,10 @@ def _ilqr_backward_parallel_impl(
         scanned = _blocked_suffix_scan(
             comb, lambda p: _identity_elems(p, d, dtype), elems, N, block_size
         )
-    gains = gains_from_scanned(A_t, B, U, s, scanned, fast_inverse=fast_inverse)
+    gains = gains_from_scanned(
+        A_t, B, U, s, scanned, fast_inverse=fast_inverse, drift=drift
+    )
     # map v-gains back to u-gains (Kc[-1] is already zero)
+    if return_value:
+        return gains.K - Kc, gains.k, scanned[4], scanned[3]
     return gains.K - Kc, gains.k

@@ -355,15 +355,15 @@ class TestBoxQPEnum:
         np.testing.assert_allclose(np.asarray(K_b), np.asarray(K_u), atol=1e-8)
         np.testing.assert_allclose(np.asarray(k_b), np.asarray(k_u), atol=1e-8)
 
-    def test_boxddp_parallel_riccati_near_sequential(self, rng):
-        """boxDDP with the active-set-frozen parallel backward on a
-        short control-limited car: exactly feasible and a large
-        improvement over the initial cost. The frozen-mask pass is an
-        APPROXIMATION (measured ~1.4x the exact sequential pass's final
-        cost on this heavily saturated task — see the docstring of
-        `ilqr_backward_box_parallel`); the assertion bounds that gap so
-        a regression past it fails."""
+    def test_boxddp_parallel_riccati_matches_sequential(self, rng):
+        """boxDDP with the time-parallel active-set backward on the
+        control-limited car converges to the SAME optimum as the exact
+        sequential pass (r4: warm-started offset-freezing active-set
+        exchange replaced the r3 approximation that plateaued ~1.4x
+        above), and the accepted solution satisfies the sequential
+        backward's KKT conditions to 1e-6 (`box_kkt_residual`)."""
         from ilqr_admm_tpu.models.car import CarFrontWheel, CarParkingCost
+        from ilqr_admm_tpu.ops.constrained_riccati import box_kkt_residual
         from ilqr_admm_tpu.problem import ILQRConfig
         from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
 
@@ -375,7 +375,7 @@ class TestBoxQPEnum:
         lo = jnp.asarray([-0.5, -2.0])
         hi = jnp.asarray([0.5, 2.0])
         st0 = boxddp_init(car.step, cost, x0, u0, lo, hi)
-        cfg = ILQRConfig(max_iter=120, tol_fun=1e-8)
+        cfg = ILQRConfig(max_iter=500, tol_fun=1e-12)
         st_s = boxddp_solve(car.step, car.get_AB, cost.get_Cs, cost, st0,
                             lo, hi, cfg=cfg)
         st_p = boxddp_solve(car.step, car.get_AB, cost.get_Cs, cost, st0,
@@ -383,9 +383,72 @@ class TestBoxQPEnum:
         us = np.asarray(st_p.u_nom)
         assert np.abs(us / np.asarray([0.5, 2.0])).max() <= 1.0 + 1e-9
         c_s, c_p = float(st_s.cost), float(st_p.cost)
-        # big improvement over the initial rollout, bounded gap vs exact
-        assert c_p < 0.15 * float(st0.cost), (float(st0.cost), c_p)
-        assert c_p <= c_s * 1.6 + 1e-6, (c_s, c_p)
+        np.testing.assert_allclose(c_p, c_s, rtol=1e-7)
+        # exactness certificate: sequential-backward KKT residual of the
+        # parallel-accepted nominal
+        A, B = car.get_AB(st_p.x_nom, st_p.u_nom)
+        cts, Cts = cost.get_Cs(st_p.x_nom, st_p.u_nom)
+        r = float(box_kkt_residual(A, B, Cts, cts, st_p.u_nom, lo, hi))
+        assert r <= 1e-6, r
+        # the sequential solution certifies too (sanity of the oracle)
+        A, B = car.get_AB(st_s.x_nom, st_s.u_nom)
+        cts, Cts = cost.get_Cs(st_s.x_nom, st_s.u_nom)
+        assert float(box_kkt_residual(A, B, Cts, cts, st_s.u_nom, lo, hi)) <= 1e-6
+
+    def test_backward_box_parallel_fixed_point_given_set(self, rng):
+        """With a warm-started clamp set, the masked+drift parallel pass
+        reproduces a frozen-set sequential oracle exactly (the model
+        equivalence claim in `ilqr_backward_box_parallel`'s docstring),
+        including nonzero offsets for strictly-inside clamped dims."""
+        from ilqr_admm_tpu.ops.constrained_riccati import (
+            ilqr_backward_box_parallel,
+        )
+
+        N, d, m = 12, 3, 2
+        A = jnp.asarray(np.eye(d) + 0.05 * rng.normal(size=(N, d, d)))
+        B = jnp.asarray(0.3 * rng.normal(size=(N, d, m)))
+        M = rng.normal(size=(N, d + m, d + m))
+        Cts = jnp.asarray(M @ M.transpose(0, 2, 1) + 0.5 * np.eye(d + m))
+        cts = jnp.asarray(rng.normal(size=(N, d + m)))
+        u_nom = jnp.asarray(0.3 * rng.normal(size=(N, m)))
+        lo, hi = jnp.asarray([-0.4, -0.4]), jnp.asarray([0.4, 0.4])
+        clamp_lo = jnp.asarray(rng.random((N, m)) < 0.25).at[-1].set(False)
+        clamp_hi = (jnp.asarray(rng.random((N, m)) < 0.25) & ~clamp_lo).at[-1].set(False)
+        dlo, dhi = lo[None] - u_nom, hi[None] - u_nom
+        c = jnp.where(clamp_lo, dlo, jnp.where(clamp_hi, dhi, 0.0))
+        clamp = np.asarray(clamp_lo | clamp_hi)
+
+        K_p, k_p = ilqr_backward_box_parallel(
+            A, B, Cts, cts, u_nom, lo, hi, mask_iters=1,
+            clamp0=(clamp_lo, clamp_hi),
+        )
+
+        # sequential frozen-set oracle (clamped dims fixed at offset c)
+        V = Cts[-1][:d, :d]
+        v = cts[-1][:d]
+        Ks, ks = [], []
+        I_m = jnp.eye(m)
+        for t in range(N - 2, -1, -1):
+            At, Bt, Ct, ct = A[t], B[t], Cts[t], cts[t]
+            Cuu, Cux = Ct[d:, d:], Ct[d:, :d]
+            qx = ct[:d] + At.T @ v
+            qu = ct[d:] + Bt.T @ v
+            Qxx = Ct[:d, :d] + At.T @ V @ At
+            Qux = Cux + Bt.T @ V @ At
+            Quu = Cuu + Bt.T @ V @ Bt
+            F = (~clamp[t]).astype(A.dtype)
+            Quu_ff = Quu * F[:, None] * F[None, :] + I_m * (1 - F)
+            kt = -jnp.linalg.solve(Quu_ff, (qu + Quu @ c[t]) * F) * F + c[t]
+            Kt = -jnp.linalg.solve(Quu_ff, Qux * F[:, None]) * F[:, None]
+            V = Qxx + Qux.T @ Kt + Kt.T @ Qux + Kt.T @ Quu @ Kt
+            V = 0.5 * (V + V.T)
+            v = qx + Qux.T @ kt + Kt.T @ (qu + Quu @ kt)
+            Ks.append(Kt)
+            ks.append(kt)
+        K_o = jnp.stack(Ks[::-1] + [jnp.zeros((m, d))])
+        k_o = jnp.stack(ks[::-1] + [jnp.zeros(m)])
+        np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_o), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_o), atol=1e-10)
 
     def test_backward_box_enum_matches_newton(self, rng):
         """ilqr_backward_box gains agree between qp_method='enum' and
