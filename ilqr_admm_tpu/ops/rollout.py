@@ -96,7 +96,11 @@ def rollout_closed_loop(
             w = 0.0
         else:
             Kt, kt, xnt, unt, w = inp
-        u = Kt @ (x - xnt) + kt + unt
+        # expanded matvec: exact f32 on the VPU (TPU dot_general is
+        # multi-pass bf16 even at HIGHEST; K rows reach 1e3-scale on
+        # stiff problems, so the 1e-6-relative noise feeds visible
+        # control perturbations into the line-search rollouts)
+        u = jnp.sum(Kt * (x - xnt)[None, :], axis=-1) + kt + unt
         return f(x, u) + w, (x, u)
 
     xs_in = (K, k, zx, zu) if ws is None else (K, k, zx, zu, ws)

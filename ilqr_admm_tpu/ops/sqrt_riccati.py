@@ -45,6 +45,81 @@ def _sqrt_psd(M):
     return V @ jnp.diag(jnp.sqrt(jnp.maximum(w, 0.0))) @ V.T
 
 
+def _mm(a, b):
+    """Exact-f32 small matmul: broadcast-multiply-sum on the VPU.
+
+    TPU lowers even HIGHEST-precision dot_generals to multi-pass bf16
+    on the MXU (~1e-6 relative vs f32 FMA's ~1e-7); at the stiff arm
+    weights the 6x noise difference in the backward's linear-term
+    accumulation was the entire f32 TPU-vs-CPU quality gap (k error 13.2
+    vs 2.25 at the init nominal, k norm 1339). The expanded form is
+    single-pass exact f32 and these blocks are tiny (d <= 9)."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def _mv(a, v):
+    """Exact-f32 small matvec (see `_mm`)."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
+def _qr_r(Ain):
+    """Householder QR, R factor only, in plain f32 VPU arithmetic.
+
+    TPU's `jnp.linalg.qr` custom lowering is ~2.3x noisier than CPU f32
+    on the arm's stiff pre-arrays (measured per-step K err 2.4e-2 vs
+    1.2e-2 against an f64 oracle) — enough, accumulated over the scan,
+    to stall the f32 arm solve 5% above the optimum. Unrolled
+    Householder with broadcast-multiply-sum updates is exact f32; the
+    pre-arrays are tiny ((m + 2d) x (m + d)), so the static unroll over
+    columns is cheap under jit."""
+    Mrows, n = Ain.shape
+    R = Ain
+    dtype = Ain.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).tiny * 1e8, dtype)
+    for j in range(n):
+        x = R[j:, j]
+        normx = jnp.sqrt(jnp.sum(x * x))
+        # sign chosen to avoid cancellation; guard zero columns
+        alpha = -jnp.sign(jnp.where(x[0] == 0, 1.0, x[0])) * normx
+        v = x.at[0].add(-alpha)
+        vnorm = jnp.sqrt(jnp.sum(v * v))
+        v = jnp.where(vnorm > eps, v / jnp.maximum(vnorm, eps), jnp.zeros_like(v))
+        # R[j:, j:] -= 2 v (v' R[j:, j:])  (rank-1, exact f32 on VPU)
+        tail = R[j:, j:]
+        w = jnp.sum(v[:, None] * tail, axis=0)
+        R = R.at[j:, j:].set(tail - 2.0 * v[:, None] * w[None, :])
+    return jnp.triu(R[:n, :n])
+
+
+def _solve_upper(U, rhs):
+    """Unrolled upper-triangular solve U x = rhs, rhs (m, k).
+
+    TPU's `solve_triangular` custom call runs ~4x noisier than f32 FMA
+    (measured 5.8e-7 vs 1.5e-7 relative on the arm pre-arrays); the
+    unrolled back-substitution is exact f32 on the VPU. m is tiny
+    (control dim), so the Python loop is fine under jit."""
+    m = U.shape[0]
+    rows = [None] * m
+    for i in range(m - 1, -1, -1):
+        acc = rhs[i]
+        for j in range(i + 1, m):
+            acc = acc - U[i, j] * rows[j]
+        rows[i] = acc / U[i, i]
+    return jnp.stack(rows, axis=0)
+
+
+def _solve_lower(L, rhs):
+    """Unrolled lower-triangular solve L x = rhs (see `_solve_upper`)."""
+    m = L.shape[0]
+    rows = [None] * m
+    for i in range(m):
+        acc = rhs[i]
+        for j in range(i):
+            acc = acc - L[i, j] * rows[j]
+        rows[i] = acc / L[i, i]
+    return jnp.stack(rows, axis=0)
+
+
 @highest_precision
 def ilqr_backward_sqrt(
     A: jax.Array,
@@ -87,41 +162,57 @@ def ilqr_backward_sqrt(
     S_term = _sqrt_psd(Cts[-1][:d, :d])  # V = S S^T
     v_term = cts[-1][:d]
 
-    def step(carry, inp):
-        S, v = carry  # V = S S^T
-        At, Bt, Cuu_h, Cxx_h, cx, cu, Mt = inp
+    # Three-phase structure (TPU precision/latency split, r4):
+    #   1. factor chain — sequential scan propagating S via the native
+    #      `jnp.linalg.qr` X22 block (its FACTOR is accurate on TPU;
+    #      only its gain extraction is noisy — measured per-step K err
+    #      2.4e-2 vs 1.2e-2 CPU against an f64 oracle), emitting S_{t+1}
+    #      per step;
+    #   2. gain extraction — the same pre-arrays re-factored by the
+    #      exact-f32 Householder `_qr_r`, VMAPPED over all steps at once
+    #      (independent given the S-chain): accuracy of the slow
+    #      unrolled-in-scan variant at batched speed;
+    #   3. linear chain — trivial sequential scan for (v, k) using the
+    #      accurate gains (VPU matvecs).
 
+    def factor_step(S, inp):
+        At, Bt, Cuu_h, Cxx_h = inp
+        ST = S.T
         pre = jnp.concatenate(
             [
                 jnp.concatenate([Cuu_h, jnp.zeros((m, d), dtype)], axis=1),
-                jnp.concatenate([S.T @ Bt, S.T @ At], axis=1),
+                jnp.concatenate([_mm(ST, Bt), _mm(ST, At)], axis=1),
                 jnp.concatenate([jnp.zeros((d, m), dtype), Cxx_h], axis=1),
             ],
             axis=0,
         )
-        R = jnp.linalg.qr(pre, mode="r")  # (m + d, m + d) upper triangular
+        R = jnp.linalg.qr(pre, mode="r")
+        return R[m:, m:].T, pre  # S_new (factor: V_new = X22^T X22), pre
+
+    xs_f = (A_bar[:-1], B[:-1], Cuu_sqrt[:-1], Cxx_sqrt[:-1])
+    _, pres = lax.scan(factor_step, S_term, xs_f, reverse=True)
+
+    def gains_one(pre):
+        R = _qr_r(pre)
         X11 = R[:m, :m]
         X12 = R[:m, m:]
-        X22 = R[m:, m:]
+        Kt = -_solve_upper(X11, X12)
+        return Kt, X11
 
-        Kt = -solve_triangular(X11, X12, lower=False)
-        qu = cu + Bt.T @ v
-        # k = -Quu^{-1} qu = -(X11^T X11)^{-1} qu
-        kt = -solve_triangular(
-            X11, solve_triangular(X11.T, qu, lower=True), lower=False
-        )
-        v_new = cx + Kt.T @ cu + (At + Bt @ Kt).T @ v
-        # re-triangularize the factor (X22 is already a valid factor:
-        # V_new = X22^T X22, stored transposed so V = S S^T next step)
-        S_new = X22.T
+    K_raw, X11s = jax.vmap(gains_one)(pres)
+
+    def linear_step(v, inp):
+        At, Bt, Kt, X11, cx, cu, Mt = inp
+        qu = cu + _mv(Bt.T, v)
+        kt = -_solve_upper(X11, _solve_lower(X11.T, qu[:, None]))[:, 0]
+        v_new = cx + _mv(Kt.T, cu) + _mv((At + _mm(Bt, Kt)).T, v)
         # map gains back to original controls: u = u~ - M x
-        return (S_new, v_new), (Kt - Mt, kt)
+        return v_new, (Kt - Mt, kt)
 
-    xs = (
-        A_bar[:-1], B[:-1], Cuu_sqrt[:-1], Cxx_sqrt[:-1],
-        cx_bar[:-1], cts[:-1, d:], Ms[:-1],
+    xs_l = (
+        A_bar[:-1], B[:-1], K_raw, X11s, cx_bar[:-1], cts[:-1, d:], Ms[:-1],
     )
-    _, (K, k) = lax.scan(step, (S_term, v_term), xs, reverse=True)
+    _, (K, k) = lax.scan(linear_step, v_term, xs_l, reverse=True)
     K = jnp.concatenate([K, jnp.zeros((1, m, d), dtype)], axis=0)
     k = jnp.concatenate([k, jnp.zeros((1, m), dtype)], axis=0)
     return K, k

@@ -71,12 +71,17 @@ class QuadCost:
 
         xs: (..., N, x_dim); us: (..., N, u_dim). Returns (...,).
         """
-        # HIGHEST precision: cost drives line-search accept decisions, and
-        # the TPU's default bf16-pass contraction is ~4e-3 relative
-        hi = jax.lax.Precision.HIGHEST
+        # Expanded broadcast-multiply-sum quadratic forms: cost drives
+        # line-search accept decisions, and on TPU even HIGHEST einsum
+        # lowers to multi-pass bf16 (~1e-6 relative) — at stiff weights
+        # (arm: 1e6) that is 1e-4-scale noise on candidate comparisons,
+        # enough to stall the f32 arm solve. The expanded form is
+        # single-pass exact f32 on the VPU (dims here are tiny).
         dx = xs - self.xd
-        cx = jnp.einsum("...ti,tij,...tj->...", dx, self.Q, dx, precision=hi)
-        cu = jnp.einsum("...ti,tij,...tj->...", us, self.R, us, precision=hi)
+        Qdx = jnp.sum(self.Q * dx[..., :, None, :], axis=-1)
+        Rus = jnp.sum(self.R * us[..., :, None, :], axis=-1)
+        cx = jnp.sum(dx * Qdx, axis=(-2, -1))
+        cu = jnp.sum(us * Rus, axis=(-2, -1))
         return cx + cu
 
     def lifted_Q(self) -> jax.Array:
