@@ -97,6 +97,7 @@ def _admm_kernel_u_only(
     ub_ref,
     x_out_ref, u_out_ref, zu_out_ref,
     *, n_iters: int, refresh_every: int, alpha: float, polish_iters: int,
+    stop_tol: float = 0.0,
 ):
     """Control-bounds-only fast path: ~1 narrow bf16 GEMM per iteration.
 
@@ -171,7 +172,30 @@ def _admm_kernel_u_only(
     z0 = u_base
     l0 = jnp.zeros_like(z0)
     c0 = jnp.zeros_like(z0)
-    carry = lax.fori_loop(0, n_outer, outer, (z0, l0, z0, c0, u_base))
+    if stop_tol > 0.0:
+        # per-TILE early exit: once every instance in this grid tile has
+        # its max-abs primal residual |u_hat - z| below stop_tol, the
+        # remaining main-phase blocks are skipped (the bf16x6 polish
+        # still runs — it produces the certified tail). Tiles exit
+        # independently; sorting a heterogeneous fleet by difficulty
+        # proxy (e.g. |x0|) groups stragglers so easy tiles stop early.
+        def w_cond(state):
+            i, _z, _l, _s, _c, _u, r = state
+            return jnp.logical_and(i < n_outer, r >= stop_tol)
+
+        def w_body(state):
+            i, z_u, l_u, s, c, u, _r = state
+            z_u, l_u, s, c, u = outer(i, (z_u, l_u, s, c, u))
+            r = jnp.max(jnp.abs(u - z_u))
+            return (i + 1, z_u, l_u, s, c, u, r)
+
+        big = jnp.asarray(jnp.inf, _F32)
+        state = lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), z0, l0, z0, c0, u_base, big)
+        )
+        carry = state[1:6]
+    else:
+        carry = lax.fori_loop(0, n_outer, outer, (z0, l0, z0, c0, u_base))
     z_u, l_u, s, c, u = lax.fori_loop(0, polish_iters, polish, carry)
 
     # final state trajectory from the s that produced the last u_hat
@@ -248,6 +272,7 @@ def make_pallas_lqt_admm(
     batch_tile: int = 256,
     refresh_every: int = 1,
     polish_iters: int = 8,
+    stop_tol: float = 0.0,
     interpret: bool = False,
 ):
     """Build a fused-Pallas batched box-constrained LQT-ADMM solver.
@@ -265,6 +290,16 @@ def make_pallas_lqt_admm(
     raise to ~8 for wide problems where the Nm×Nm GEMM dominates). The
     u-only path runs ceil((n_iters - polish_iters)/refresh_every) full
     blocks (≤ refresh_every-1 extra iterations past n_iters).
+
+    stop_tol (u-only path): > 0 enables per-TILE early exit — a grid
+    tile stops its main-phase iterations once every instance in it has
+    max-abs primal residual |u_hat - z| < stop_tol (the bf16x6 polish
+    tail still runs, preserving the convergence certificate). Modeled
+    on the reference's per-problem ADMM early stopping (`admm.py:72-85`)
+    at the granularity the MXU actually works in: whole batch tiles.
+    Heterogeneous fleets should be sorted by a difficulty proxy (e.g.
+    |x0 - xd|) so stragglers share tiles and easy tiles exit early;
+    0 (default) keeps the fixed-iteration schedule.
 
     polish_iters (u-only path): final iterations run with the
     full-f32-equivalent bf16x6 product (`_dot6`) instead of bf16x3 —
@@ -353,6 +388,7 @@ def make_pallas_lqt_admm(
             _admm_kernel_u_only, n_iters=n_iters,
             refresh_every=refresh_every, alpha=alpha,
             polish_iters=min(polish_iters, n_iters),
+            stop_tol=float(stop_tol),
         )
 
     @jax.jit

@@ -145,3 +145,29 @@ def test_pallas_builder_rejects_bounds_without_rho():
         make_pallas_lqt_admm(A, B, cost, u_lower=-1.0, u_upper=1.0)
     with pytest.raises(ValueError, match="rho_u"):
         make_pallas_lqt_admm(A, B, cost, u_lower=-1.0, u_upper=1.0, rho_u=0.0)
+
+
+def test_pallas_u_only_early_exit_matches_full_schedule():
+    """stop_tol > 0 (per-tile early exit) returns the same solution as
+    the fixed-iteration schedule: an easy fleet converges well before
+    n_iters, so the exited tiles' polished iterates must agree with the
+    full run's; a stop_tol=0 build is the oracle."""
+    N = 40
+    plant, A, B, cost = _problem(N)
+    kw = dict(u_lower=-5.0, u_upper=5.0, rho_u=1e-2, n_iters=120,
+              batch_tile=8, refresh_every=1, interpret=True)
+    solve_full = make_pallas_lqt_admm(A, B, cost, **kw)
+    solve_exit = make_pallas_lqt_admm(A, B, cost, stop_tol=1e-5, **kw)
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.normal(0, 0.1, size=(16, plant.x_dim)), jnp.float32)
+    x_f, u_f, _, zu_f = solve_full(x0s)
+    x_e, u_e, _, zu_e = solve_exit(x0s)
+    np.testing.assert_allclose(np.asarray(u_e), np.asarray(u_f), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(x_e), np.asarray(x_f), atol=2e-4)
+    assert float(jnp.max(jnp.abs(zu_e))) <= 5.0 + 1e-5
+    # early exit does not degrade the primal residual anywhere (one
+    # instance of this fleet legitimately needs >120 iters — its tile
+    # never exits, so both schedules treat it identically)
+    r_f = jnp.max(jnp.abs(u_f - zu_f), axis=1)
+    r_e = jnp.max(jnp.abs(u_e - zu_e), axis=1)
+    np.testing.assert_allclose(np.asarray(r_e), np.asarray(r_f), atol=2e-4)
