@@ -11,6 +11,7 @@ Oracles:
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
 from ilqr_admm_tpu.ops.riccati import quad_cost_model
@@ -202,3 +203,53 @@ def test_nonconvex_keepout_gauss_newton():
     assert abs(float(res.x_nom[-1, 0]) - 1.0) < 0.05
     dmin = float(jnp.min(jnp.linalg.norm(res.x_nom[:, :2] - center, axis=-1)))
     assert dmin < r + 0.02  # grazing, not a wide detour
+
+
+def test_arm_constrained_optimum_beats_admm_plateau():
+    """3DoF arm state+control bounds (reference 3DoF bounds c24): the AL
+    route converges to the FEASIBLE constrained optimum 0.19982 (f64;
+    max|vel| <= 1.5 + 1e-6, |u| <= 6, terminal x_ee in [0.5, 1]) —
+    below the iLQR-ADMM fixed-point plateau (~0.2001 at consensus
+    tolerance 1e-4) and above the reference's reported 0.1996, which is
+    infeasible-optimistic: any cost below 0.19982 must violate a
+    constraint (r4 finding, benchmarks/RESULTS.md)."""
+    from ilqr_admm_tpu.models.arm import PlanarArm
+    from ilqr_admm_tpu.ops.riccati import quad_cost_model
+    from ilqr_admm_tpu.problem import ILQRConfig
+    from ilqr_admm_tpu.solvers.al_ilqr import al_ilqr_solve
+    from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
+
+    Na = 100
+    arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / Na)
+    d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
+    target = jnp.asarray([0.0] * n + [0.0] * n + [1.5, 1.0, 0.0])
+    w = jnp.asarray([0.0] * n + [1e6] * n + [0.0, 1e6, 0.0])
+    zs = jnp.stack([jnp.zeros(d), target])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.diag(w)])
+    seq = np.zeros(Na, dtype=np.int32)
+    seq[-1] = 1
+    aquad = viapoint_cost(zs, Qs, seq, 1e-4, m)
+    x0a = arm.initial_state(jnp.asarray([np.pi / 3, -np.pi / 2, -np.pi / 4]))
+    u0a = jnp.ones((Na, m))
+    get_Cs = lambda xs, us: quad_cost_model(aquad.Q, aquad.xd, aquad.R, xs, us)
+
+    def ineq(x, u, t):
+        vel = x[n : 2 * n]
+        xe = x[2 * n]
+        is_T = t == Na - 1
+        return jnp.concatenate([
+            u - 6.0, -u - 6.0, vel - 1.5, -vel - 1.5,
+            jnp.atleast_1d(jnp.where(is_T, xe - 1.0, -1.0)),
+            jnp.atleast_1d(jnp.where(is_T, 0.5 - xe, -1.0)),
+        ])
+
+    res = al_ilqr_solve(
+        arm.step, arm.get_AB, get_Cs, aquad, x0a, u0a, ineq=ineq,
+        cfg=ILQRConfig(max_iter=40, tol_fun=1e-10), n_al=12, tol_con=1e-7,
+        riccati="sqrt",
+    )
+    xs, us = np.asarray(res.x_nom), np.asarray(res.u_nom)
+    assert abs(float(res.cost) - 0.199817) < 5e-4, float(res.cost)
+    assert np.abs(us).max() <= 6.0 + 1e-5
+    assert np.abs(xs[:, n : 2 * n]).max() <= 1.5 + 1e-5
+    assert 0.5 - 1e-5 <= xs[-1, 2 * n] <= 1.0 + 1e-5
