@@ -62,11 +62,13 @@ def main():
 
         solve_p = make_pallas_lqt_admm(
             A, B, cost, u_lower=-5.0, u_upper=5.0,
-            rho_u=RHO_U, n_iters=ADMM_ITERS, batch_tile=1024,
+            rho_u=RHO_U, n_iters=ADMM_ITERS, batch_tile=256,
+            # batch_tile 1024 exceeds VMEM at Nm=512/Nd=1024 (measured
+            # compile failure); 256 fits with double buffering
             refresh_every=8,  # wide regime: the 512x512 GEMM dominates,
             # so the single-pass delta updates pay off (RESULTS.md r3)
         )
-        jax.block_until_ready(solve_p(jnp.zeros((1024, d), jnp.float32)))
+        jax.block_until_ready(solve_p(jnp.zeros((256, d), jnp.float32)))
         solve = lambda x0s: solve_p(x0s)[:2]
         solve_zu = lambda x0s: solve_p(x0s)[3]
         path = "pallas"

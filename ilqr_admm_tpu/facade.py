@@ -626,12 +626,16 @@ class iSLS(_Base):
         )
 
     def solve_boxddp(self, get_AB, u_lower, u_upper, get_Cs=None,
-                     max_iter=100, tol_fun=1e-7):
+                     max_iter=100, tol_fun=1e-7, riccati="seq"):
         """Control-limited DDP: bounds inside the Riccati recursion.
 
         First-class DP alternative to `ilqr_admm` for box-on-u problems
         (no penalty tuning; every iterate exactly feasible). See
-        `solvers/boxddp.py`. Updates the nominal values in place.
+        `solvers/boxddp.py`. riccati='parallel' selects the
+        exactness-certified time-parallel backward (O(log N) depth,
+        warm-started active sets — the long-horizon option; N=500 car:
+        105 ms vs 1091 ms sequential at the same optimum). Updates the
+        nominal values in place.
         """
         from ilqr_admm_tpu.problem import ILQRConfig
         from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
@@ -644,6 +648,7 @@ class iSLS(_Base):
             lambda st: boxddp_solve(
                 f, get_AB, get_Cs_fn, cost_fn, st, u_lower, u_upper,
                 cfg=ILQRConfig(max_iter=max_iter, tol_fun=tol_fun),
+                riccati=riccati,
             )
         )(st0)
         self.x_nom, self.u_nom = out.x_nom, out.u_nom

@@ -97,7 +97,7 @@ def _admm_kernel_u_only(
     ub_ref,
     x_out_ref, u_out_ref, zu_out_ref,
     *, n_iters: int, refresh_every: int, alpha: float, polish_iters: int,
-    stop_tol: float = 0.0,
+    stop_tol: float = 0.0, check_every: int = 8,
 ):
     """Control-bounds-only fast path: ~1 narrow bf16 GEMM per iteration.
 
@@ -179,13 +179,20 @@ def _admm_kernel_u_only(
         # still runs — it produces the certified tail). Tiles exit
         # independently; sorting a heterogeneous fleet by difficulty
         # proxy (e.g. |x0|) groups stragglers so easy tiles stop early.
+        # The residual reduction + while_loop bookkeeping run only every
+        # `check_every` outer blocks — a per-iteration check measurably
+        # UNDID the win (0.88x) by blocking Mosaic's loop pipelining.
+        n_chunks = -(-n_outer // check_every)
+
         def w_cond(state):
             i, _z, _l, _s, _c, _u, r = state
-            return jnp.logical_and(i < n_outer, r >= stop_tol)
+            return jnp.logical_and(i < n_chunks, r >= stop_tol)
 
         def w_body(state):
             i, z_u, l_u, s, c, u, _r = state
-            z_u, l_u, s, c, u = outer(i, (z_u, l_u, s, c, u))
+            z_u, l_u, s, c, u = lax.fori_loop(
+                0, check_every, outer, (z_u, l_u, s, c, u)
+            )
             r = jnp.max(jnp.abs(u - z_u))
             return (i + 1, z_u, l_u, s, c, u, r)
 
@@ -273,6 +280,7 @@ def make_pallas_lqt_admm(
     refresh_every: int = 1,
     polish_iters: int = 8,
     stop_tol: float = 0.0,
+    check_every: int = 8,
     interpret: bool = False,
 ):
     """Build a fused-Pallas batched box-constrained LQT-ADMM solver.
@@ -299,7 +307,9 @@ def make_pallas_lqt_admm(
     at the granularity the MXU actually works in: whole batch tiles.
     Heterogeneous fleets should be sorted by a difficulty proxy (e.g.
     |x0 - xd|) so stragglers share tiles and easy tiles exit early;
-    0 (default) keeps the fixed-iteration schedule.
+    0 (default) keeps the fixed-iteration schedule. `check_every` sets
+    how many outer blocks run between residual checks (per-iteration
+    checking blocks Mosaic's loop pipelining — measured 0.88x).
 
     polish_iters (u-only path): final iterations run with the
     full-f32-equivalent bf16x6 product (`_dot6`) instead of bf16x3 —
@@ -388,7 +398,7 @@ def make_pallas_lqt_admm(
             _admm_kernel_u_only, n_iters=n_iters,
             refresh_every=refresh_every, alpha=alpha,
             polish_iters=min(polish_iters, n_iters),
-            stop_tol=float(stop_tol),
+            stop_tol=float(stop_tol), check_every=int(check_every),
         )
 
     @jax.jit

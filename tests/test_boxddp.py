@@ -234,6 +234,15 @@ class TestFacade:
         assert float(jnp.max(jnp.abs(out.u_nom))) <= 5.0 + 1e-12
         assert s.cost_log and s.cost_log[-1] == float(out.cost)
 
+        # riccati='parallel' through the facade reaches the same optimum
+        sp = iSLS(x_dim=plant.x_dim, u_dim=plant.u_dim, N=N)
+        sp.forward_model = plant.step
+        sp.cost_function = cost
+        sp.nominal_values = sp.get_trajectory_batch(x0, jnp.zeros((N, 1)))
+        out_p = sp.solve_boxddp(plant.get_AB, -5.0, 5.0, get_Cs=get_Cs,
+                                riccati="parallel")
+        np.testing.assert_allclose(float(out_p.cost), float(out.cost), rtol=1e-6)
+
         s2 = iSLS(x_dim=plant.x_dim, u_dim=plant.u_dim, N=N)
         s2.forward_model = plant.step
         s2.cost_function = cost
