@@ -59,11 +59,11 @@ def main():
     kw = dict(u_lower=-5.0, u_upper=5.0, rho_u=RHO_U,
               n_iters=ADMM_ITERS, batch_tile=TILE)
     solve_fix = make_pallas_lqt_admm(A, B, cost, **kw)
-    # stop_tol must sit ABOVE the main loop's bf16x3 residual noise
-    # floor (~7e-4, see pallas_admm polish docstring) or no tile ever
-    # passes the test; the bf16x6 polish tail then drives exited tiles
-    # to the certified floor (quality gate below verifies).
-    solve_exit = make_pallas_lqt_admm(A, B, cost, stop_tol=2e-3, **kw)
+    # the exit test runs on a bf16x6 (floor-free) iterate at each check
+    # chunk; measured knee (TPU sweep): stop_tol 1e-4 max-abs keeps the
+    # converged fraction AT the fixed schedule's (0.9932 vs 0.9929)
+    # while 3e-4 costs 2.6pp and 3e-5 exits nothing
+    solve_exit = make_pallas_lqt_admm(A, B, cost, stop_tol=1e-4, **kw)
 
     # mixed fleet: 7/8 nominal spread, 1/8 at 10x; sorted by |x0| so
     # stragglers share tiles and easy tiles exit early
