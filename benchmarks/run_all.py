@@ -373,6 +373,7 @@ def main():
             ),
             u_lower=lo, u_upper=hi,
             cfg=ILQRConfig(max_iter=20, tol_fun=1e-8),
+            riccati="parallel", mask_iters=1,  # r4 exact parallel polish
         ).cost
     )
     timed("ADMM->boxDDP hybrid car control bounds (N=500)", 17400.0,
