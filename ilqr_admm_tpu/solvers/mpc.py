@@ -191,6 +191,8 @@ def make_mpc_step_boxddp(
     n_iters: int = 3,
     n_line_search: int = 10,
     qp_iters: int = 8,
+    riccati: str = "seq",
+    mask_iters: int = 3,
 ):
     """Build a jitted control-limited MPC step using bounded-iteration
     boxDDP (first-class DP alternative to `make_mpc_step_constrained`
@@ -199,6 +201,13 @@ def make_mpc_step_boxddp(
     construction (clipped rollouts). Each tick: shift the nominal one
     step, run `n_iters` boxDDP iterations from the measured state,
     apply the first control.
+
+    riccati='parallel' uses the exactness-certified time-parallel
+    backward (O(log N) per pass) — the long-horizon tick option. The
+    active set is seeded fresh each tick (MPCState carries no clamp
+    state), so `mask_iters` (default 3) exchange passes per backward
+    settle it; the MPC nominal shifts by one step per tick, keeping the
+    seed close.
 
     Returns step: (MPCState, x_measured) -> (u_apply, state').
     """
@@ -230,6 +239,7 @@ def make_mpc_step_boxddp(
             s2, _accept, _ = boxddp_iterate(
                 f, get_AB, get_Cs, cost_fn, s,
                 alphas.astype(xs.dtype), u_lower, u_upper, qp_iters=qp_iters,
+                riccati=riccati, mask_iters=mask_iters,
             )
             return s2
 

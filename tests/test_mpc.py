@@ -147,3 +147,34 @@ def test_boxddp_mpc_tracks_and_respects_bounds():
     assert np.abs(np.asarray(xs[-20:, 0]) - 1.0).max() < 0.08
     # the bound binds early in the transient (the task needs it)
     assert np.abs(us).max() > 2.99
+
+
+def test_boxddp_mpc_parallel_backward_matches_seq():
+    """boxDDP-tick MPC with riccati='parallel' tracks like the
+    sequential tick: exact feasibility and same closed-loop target."""
+    from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
+    from ilqr_admm_tpu.solvers.mpc import make_mpc_step_boxddp
+
+    N, H = 50, 150
+    plant = DoubleIntegrator(1, 2, dt=1.0 / N)
+    d, m = plant.x_dim, plant.u_dim
+    zs = jnp.stack([jnp.zeros(d), jnp.asarray([1.0, 0.0])])
+    Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3])
+    seq = np.zeros(N, dtype=np.int32)
+    seq[-1] = 1
+    cost = viapoint_cost(zs, Qs, seq, 1e-2, m)
+    A, B = plant.AB(N)
+    get_AB = lambda xs, us: (A, B)
+    get_Cs = lambda xs, us: quad_cost_model(cost.Q, cost.xd, cost.R, xs, us)
+    f = lambda x, u: plant.A @ x + plant.B @ u
+
+    step = make_mpc_step_boxddp(
+        f, get_AB, cost, get_Cs, u_lower=-3.0, u_upper=3.0, n_iters=3,
+        riccati="parallel",
+    )
+    x0 = jnp.zeros(d)
+    st = mpc_init(f, x0, jnp.zeros((N, m)))
+    xs, us, _ = run_mpc(f, step, st, x0, H)
+    us = np.asarray(us)
+    assert np.abs(us).max() <= 3.0 + 1e-12
+    assert abs(float(xs[-1, 0]) - 1.0) < 0.05, float(xs[-1, 0])
