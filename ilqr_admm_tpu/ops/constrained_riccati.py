@@ -119,6 +119,8 @@ def ilqr_backward_box_parallel(
     mask_iters: int = 3,
     clamp0=None,
     return_clamp: bool = False,
+    mesh=None,
+    mesh_axis: str = "time",
 ):
     """Time-parallel boxDDP backward pass: trajectory-wide active-set
     iteration where every pass is an associative scan (O(log N) depth).
@@ -159,8 +161,27 @@ def ilqr_backward_box_parallel(
     set — across boxDDP outer iterations the set stabilizes after a few
     outers, making 1-3 passes sufficient (solvers/boxddp.py carries it).
     `return_clamp=True` additionally returns the post-exchange set.
+
+    mesh: a `jax.sharding.Mesh` distributes every pass's horizon over
+    `mesh_axis` (`parallel/time_sharded.py::ilqr_backward_time_sharded`
+    — one all_gather of O(P·d²) chunk totals per pass); the masked-model
+    construction and the exchange are per-stage algebra and stay
+    sharded. This is the pod-scale constrained backward.
     """
     from ilqr_admm_tpu.ops.parallel_riccati import ilqr_backward_parallel
+
+    if mesh is not None:
+        from ilqr_admm_tpu.parallel.time_sharded import (
+            ilqr_backward_time_sharded,
+        )
+
+        def backward(A_, B_, Cts_, cts_, **kw):
+            return ilqr_backward_time_sharded(
+                A_, B_, Cts_, cts_, kw.pop("drift", None),
+                mesh=mesh, axis=mesh_axis, **kw,
+            )
+    else:
+        backward = ilqr_backward_parallel
 
     d = A.shape[-1]
     m = B.shape[-1]
@@ -201,7 +222,7 @@ def ilqr_backward_box_parallel(
         Cts_eff = Cts_eff.at[:, d:, :d].set(Cux_full * F[:, :, None])
         Cts_eff = Cts_eff.at[:, :d, d:].set(Cts[:, :d, d:] * F[:, None, :])
         cts_eff = jnp.concatenate([cx_eff, cu_eff], axis=-1)
-        K, k, J, eta = ilqr_backward_parallel(
+        K, k, J, eta = backward(
             A, B_eff, Cts_eff, cts_eff, return_value=True, drift=drift,
             fast_inverse=fast,
         )
@@ -234,7 +255,7 @@ def ilqr_backward_box_parallel(
     # seed from the warm-started set when given, else from the
     # unconstrained step; then iterate the exchange (each pass O(log N))
     if clamp0 is None:
-        _, k_unc = ilqr_backward_parallel(A, B, Cts, cts, fast_inverse=fast)
+        _, k_unc = backward(A, B, Cts, cts, fast_inverse=fast)
         clamp_lo = k_unc <= dlo
         clamp_hi = k_unc >= dhi
     else:

@@ -435,6 +435,52 @@ def rollout_closed_loop_parallel(A, B, K, k, x0):
 
 
 @highest_precision
+def ilqr_value_elements(A, B, Cts, cts, fast_inverse=False, drift=None):
+    """Scan elements for the general iLQR model (with cross terms).
+
+    Completion of squares removes the Cux cross term stage-by-stage. The
+    final stage is left untouched: u_{N-1} is unused by convention and
+    the terminal value function must stay (Cxx[-1], cx[-1]) raw
+    (matches `ilqr_backward`'s V_term/v_term).
+
+    All prelude matmuls are broadcast-multiply-sums, NOT dot_general:
+    callers trace under default_matmul_precision('highest'), and XLA
+    lowers inner-dim-2 batched HIGHEST matmuls catastrophically here
+    (measured 507 ms vs 7 ms for the whole N=5000 backward pass). The
+    expanded form runs exact f32 on the VPU — faster AND more accurate
+    than multi-pass bf16.
+
+    Returns (elems, U, s, A_t, Kc): feed (elems) to a suffix scan (local
+    or mesh time-sharded), then `gains_from_scanned(A_t, B, U, s,
+    scanned, drift=drift)` and map v-gains back as K = K_v - Kc.
+    Shared by `ilqr_backward_parallel` and
+    `parallel/time_sharded.py::ilqr_backward_time_sharded`."""
+    d = A.shape[-1]
+    m = B.shape[-1]
+    Cxx = Cts[:, :d, :d]
+    Cuu = Cts[:, d:, d:]
+    Cux = Cts[:, d:, :d]
+    cx = cts[:, :d]
+    cu = cts[:, d:]
+
+    def bmm(a, b):  # (N, i, k) @ (N, k, j) with tiny k
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+    if m <= 4:
+        Kc = bmm(inv_small(Cuu), Cux).at[-1].set(0.0)  # (N, m, d)
+    else:
+        Kc = jnp.linalg.solve(Cuu, Cux).at[-1].set(0.0)
+    A_t = A - bmm(B, Kc)
+    X = Cxx - bmm(jnp.swapaxes(Cux, -1, -2), Kc)
+    X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    cx_t = cx - jnp.einsum("tji,tj->ti", Kc, cu)  # cx - Kc' cu
+
+    elems, U, s = value_elements_general(
+        A_t, B, X, -cx_t, Cuu, -cu, fast_inverse=fast_inverse, drift=drift
+    )
+    return elems, U, s, A_t, Kc
+
+
 def ilqr_backward_parallel(
     A: jax.Array,
     B: jax.Array,
@@ -490,40 +536,10 @@ def _ilqr_backward_parallel_impl(
     return_value=False
 ):
     N, d = A.shape[0], A.shape[-1]
-    m = B.shape[-1]
     dtype = A.dtype
 
-    Cxx = Cts[:, :d, :d]
-    Cuu = Cts[:, d:, d:]
-    Cux = Cts[:, d:, :d]
-    cx = cts[:, :d]
-    cu = cts[:, d:]
-
-    # completion of squares: remove the cross term stage-by-stage. The
-    # final stage is left untouched: u_{N-1} is unused by convention and
-    # the terminal value function must stay (Cxx[-1], cx[-1]) raw
-    # (matches `ilqr_backward`'s V_term/v_term).
-    #
-    # All prelude matmuls are broadcast-multiply-sums, NOT dot_general:
-    # this function traces under default_matmul_precision('highest'),
-    # and XLA lowers inner-dim-2 batched HIGHEST matmuls catastrophically
-    # here (measured 507 ms vs 7 ms for the whole N=5000 backward pass).
-    # The expanded form runs exact f32 on the VPU — faster AND more
-    # accurate than multi-pass bf16.
-    def bmm(a, b):  # (N, i, k) @ (N, k, j) with tiny k
-        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
-
-    if m <= 4:
-        Kc = bmm(inv_small(Cuu), Cux).at[-1].set(0.0)  # (N, m, d)
-    else:
-        Kc = jnp.linalg.solve(Cuu, Cux).at[-1].set(0.0)
-    A_t = A - bmm(B, Kc)
-    X = Cxx - bmm(jnp.swapaxes(Cux, -1, -2), Kc)
-    X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
-    cx_t = cx - jnp.einsum("tji,tj->ti", Kc, cu)  # cx - Kc' cu
-
-    elems, U, s = value_elements_general(
-        A_t, B, X, -cx_t, Cuu, -cu, fast_inverse=fast_inverse, drift=drift
+    elems, U, s, A_t, Kc = ilqr_value_elements(
+        A, B, Cts, cts, fast_inverse=fast_inverse, drift=drift
     )
     # materialize the scan elements: without this barrier XLA fuses the
     # completion-of-squares prelude INTO the scan body and recomputes it

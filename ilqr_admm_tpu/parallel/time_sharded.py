@@ -31,6 +31,7 @@ from ilqr_admm_tpu.ops.parallel_riccati import (
     _combine,
     _identity_elems,
     gains_from_scanned,
+    ilqr_value_elements,
     value_elements,
 )
 from ilqr_admm_tpu.utils.precision import highest_precision
@@ -140,4 +141,68 @@ def lqt_backward_time_sharded(
     return _lqt_backward_time_sharded_impl(
         A, B, Q, xd, R, Qr, xr, Rr, ur,
         mesh=mesh, axis=axis, fast_inverse=fast_inverse,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "fast_inverse", "return_value")
+)
+@highest_precision
+def _ilqr_backward_time_sharded_impl(
+    A, B, Cts, cts, drift, *, mesh, axis, fast_inverse, return_value
+):
+    d = A.shape[-1]
+    dtype = A.dtype
+    elems, U, s, A_t, Kc = ilqr_value_elements(
+        A, B, Cts, cts, fast_inverse=fast_inverse, drift=drift
+    )
+    comb = functools.partial(_combine, fast_inverse=fast_inverse)
+    scanned = time_sharded_suffix_scan(
+        comb, lambda p: _identity_elems(p, d, dtype), elems, mesh, axis
+    )
+    sharding = NamedSharding(mesh, P(axis))
+    scanned = jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, sharding), scanned
+    )
+    gains = gains_from_scanned(
+        A_t, B, U, s, scanned, fast_inverse=fast_inverse, drift=drift
+    )
+    if return_value:
+        return gains.K - Kc, gains.k, scanned[4], scanned[3]
+    return gains.K - Kc, gains.k
+
+
+def ilqr_backward_time_sharded(
+    A: jax.Array,
+    B: jax.Array,
+    Cts: jax.Array,
+    cts: jax.Array,
+    drift: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    axis: str = "time",
+    fast_inverse: bool = False,
+    return_value: bool = False,
+):
+    """General iLQR Riccati (Cux cross terms, optional affine drift) with
+    the horizon sharded over `mesh[axis]`.
+
+    Same (K, k) contract as `ops.parallel_riccati.ilqr_backward_parallel`
+    — the nonlinear solvers' backward pass distributed across devices:
+    completion-of-squares prelude is per-stage (stays sharded), each
+    device scans its chunk, ONE all_gather of O(P·d²) chunk totals joins
+    them, gain extraction is local. With `drift` this is also the
+    pod-scale backward for the box-constrained active-set iteration
+    (`ops/constrained_riccati.py::ilqr_backward_box_parallel` freezes
+    clamped controls as a drift); `return_value=True` adds the per-stage
+    cost-to-go (J, eta) its exchange test needs.
+    """
+    if fast_inverse and A.shape[-1] > 4:
+        raise ValueError(
+            f"fast_inverse=True supports state dim <= 4 (got d={A.shape[-1]})"
+        )
+    return _ilqr_backward_time_sharded_impl(
+        A, B, Cts, cts, drift,
+        mesh=mesh, axis=axis, fast_inverse=fast_inverse,
+        return_value=return_value,
     )

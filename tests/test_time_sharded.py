@@ -78,3 +78,58 @@ def test_time_sharded_under_jit_with_sharded_inputs(rng):
     g_sh = f(A, B, Q, xd, R)
     g_seq = lqt_backward(A, B, Q, xd, R)
     np.testing.assert_allclose(np.asarray(g_sh.K), np.asarray(g_seq.K), atol=1e-8)
+
+
+def test_ilqr_time_sharded_matches_parallel(rng):
+    """General iLQR backward (cross terms + drift) over the 8-device
+    ('time',) mesh equals the single-device associative-scan result."""
+    from ilqr_admm_tpu.ops.parallel_riccati import ilqr_backward_parallel
+    from ilqr_admm_tpu.parallel.time_sharded import ilqr_backward_time_sharded
+
+    mesh = make_mesh(axis_names=("time",))
+    N, d, m = 64, 3, 2
+    A = jnp.asarray(np.tile(np.eye(d), (N, 1, 1)) + 0.02 * rng.normal(size=(N, d, d)))
+    B = jnp.asarray(0.15 * rng.normal(size=(N, d, m)))
+    M = rng.normal(size=(N, d + m, d + m))
+    Cts = jnp.asarray(M @ M.transpose(0, 2, 1) + 0.5 * np.eye(d + m))
+    cts = jnp.asarray(rng.normal(size=(N, d + m)))
+    drift = jnp.asarray(0.1 * rng.normal(size=(N, d)))
+
+    K_p, k_p = ilqr_backward_parallel(A, B, Cts, cts, drift=drift)
+    K_s, k_s = ilqr_backward_time_sharded(A, B, Cts, cts, drift, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(K_s), np.asarray(K_p), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(k_s), np.asarray(k_p), atol=1e-8)
+
+    # value-function return used by the box exchange
+    K_v, k_v, J, eta = ilqr_backward_time_sharded(
+        A, B, Cts, cts, drift, mesh=mesh, return_value=True
+    )
+    _, _, J_p, eta_p = ilqr_backward_parallel(
+        A, B, Cts, cts, drift=drift, return_value=True
+    )
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_p), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(eta), np.asarray(eta_p), atol=1e-8)
+
+
+def test_box_backward_time_sharded_matches_unsharded(rng):
+    """The constrained (boxDDP) active-set backward distributed over the
+    ('time',) mesh equals the single-device variant — per-pass scans are
+    mesh-sharded, the masked model and exchange stay per-stage."""
+    from ilqr_admm_tpu.ops.constrained_riccati import ilqr_backward_box_parallel
+
+    mesh = make_mesh(axis_names=("time",))
+    N, d, m = 64, 3, 2
+    A = jnp.asarray(np.tile(np.eye(d), (N, 1, 1)) + 0.02 * rng.normal(size=(N, d, d)))
+    B = jnp.asarray(0.15 * rng.normal(size=(N, d, m)))
+    M = rng.normal(size=(N, d + m, d + m))
+    Cts = jnp.asarray(M @ M.transpose(0, 2, 1) + 0.5 * np.eye(d + m))
+    cts = jnp.asarray(rng.normal(size=(N, d + m)))
+    u_nom = jnp.asarray(0.3 * rng.normal(size=(N, m)))
+    lo, hi = jnp.asarray([-0.4, -0.4]), jnp.asarray([0.4, 0.4])
+
+    K_u, k_u = ilqr_backward_box_parallel(A, B, Cts, cts, u_nom, lo, hi)
+    K_s, k_s = ilqr_backward_box_parallel(
+        A, B, Cts, cts, u_nom, lo, hi, mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(K_s), np.asarray(K_u), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(k_s), np.asarray(k_u), atol=1e-8)
