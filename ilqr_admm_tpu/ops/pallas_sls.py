@@ -78,6 +78,8 @@ def _sls_admm_kernel(
     n_cons_iters: int,
     alpha: float,
     cons_rho: float,
+    stop_tol: float,
+    check_every: int,
     p1: int,
     soc_A,  # tuple of np (q, p1) matrices (compile-time constants)
     soc_b_fixed,  # tuple of np (q,) vectors
@@ -189,7 +191,39 @@ def _sls_admm_kernel(
 
     Z0 = tuple(U_base[k] for k in range(p1))
     L0 = tuple(jnp.zeros_like(U_base[0]) for _ in range(p1))
-    Z, L, U = lax.fori_loop(0, n_iters, outer_body, (Z0, L0, Z0))
+    if stop_tol > 0.0:
+        # per-TILE early exit (same design as pallas_admm r4): residual
+        # checked every `check_every` iterations — per-iteration checks
+        # block Mosaic's pipelining. At this kernel's large rho_u the
+        # primal residual |U - Z| is tight from the first iterations
+        # while the DUAL residual (per-iteration z motion) is the live
+        # one, so the test takes the max of both. The iterates carry the
+        # mxu_dot precision floor (~7e-4 for the default bf16x3); pick
+        # stop_tol above it.
+        n_chunks = -(-n_iters // check_every)
+
+        def w_cond(state):
+            return jnp.logical_and(state[0] < n_chunks, state[4] >= stop_tol)
+
+        def w_body(state):
+            i, Z, L, U, _r = state
+            Z, L, U = lax.fori_loop(
+                0, check_every - 1, outer_body, (Z, L, U)
+            )
+            Z_prev = Z
+            Z, L, U = outer_body(0, (Z, L, U))
+            r = jnp.asarray(0.0, U[0].dtype)
+            for k in range(p1):
+                r = jnp.maximum(r, jnp.max(jnp.abs(U[k] - Z[k])))
+                r = jnp.maximum(r, jnp.max(jnp.abs(Z[k] - Z_prev[k])))
+            return (i + 1, Z, L, U, r)
+
+        big = jnp.asarray(jnp.inf, U_base[0].dtype)
+        _, Z, L, U, _ = lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), Z0, L0, Z0, big)
+        )
+    else:
+        Z, L, U = lax.fori_loop(0, n_iters, outer_body, (Z0, L0, Z0))
     for k in range(p1):
         U_out_ref[k] = U[k]
 
@@ -209,9 +243,16 @@ def make_pallas_sls_admm(
     alpha: float = 1.0,
     batch_tile: int = 256,
     gemm_precision: str = "f32",
+    stop_tol: float = 0.0,
+    check_every: int = 8,
     interpret: bool = False,
 ):
     """Build a fused-Pallas batched robust SLS-ADMM solver.
+
+    stop_tol > 0 enables per-TILE early exit (residual checked every
+    `check_every` iterations; see `ops/pallas_admm.py` for the measured
+    design rules) — heterogeneous scenario fleets sorted by `bounds`
+    group stragglers so easy tiles stop early.
 
     Chance-constrained control rows: every row phi (length p+1 =
     robust_dim+1) of [du | Phi_u-cols] must satisfy
@@ -290,6 +331,7 @@ def make_pallas_sls_admm(
         _sls_admm_kernel,
         n_iters=n_iters, n_cons_iters=n_cons_iters, alpha=alpha,
         cons_rho=cons_rho, p1=p1,
+        stop_tol=float(stop_tol), check_every=int(check_every),
         soc_A=soc_A, soc_b_fixed=soc_b_fixed, soc_b_bound=soc_b_bound,
         l_inv_cons=l_inv_cons, mxu_dot=mxu_dot,
     )

@@ -97,3 +97,33 @@ def test_pallas_sls_rejects_ragged_soc_rows():
             A, B, cost, [A3, A5], [np.zeros(3), np.zeros(5)],
             [np.zeros(3), np.zeros(5)], rho_u=1e2, interpret=True,
         )
+
+
+def test_pallas_sls_early_exit_matches_full_schedule():
+    """stop_tol > 0 on an easy fleet: exited tiles' iterates match the
+    fixed-schedule run (interpret mode; same design as pallas_admm)."""
+    N = 20
+    A, B, cost, d, m = _setup(N)
+    f32 = jnp.float32
+    psi_inv = float(norm.ppf(0.95))
+    mu = np.array([1.0, 0.0])
+    Au = np.diag(np.sqrt([0.0, 0.01]))
+    A_hi = np.concatenate([Au, (-mu / psi_inv)[None]], 0)
+    A_lo = np.concatenate([Au, (mu / psi_inv)[None]], 0)
+    b_fixed = np.zeros(3)
+    b_bound = np.array([0.0, 0.0, 1.0 / psi_inv])
+
+    kw = dict(rho_u=1e2, robust_dim=1, n_iters=120, n_cons_iters=20,
+              cons_rho=10.0, batch_tile=8, interpret=True)
+    solve_full = make_pallas_sls_admm(
+        A, B, cost, [A_hi, A_lo], [b_fixed, b_fixed], [b_bound, b_bound], **kw)
+    solve_exit = make_pallas_sls_admm(
+        A, B, cost, [A_hi, A_lo], [b_fixed, b_fixed], [b_bound, b_bound],
+        stop_tol=1e-5, check_every=8, **kw)
+
+    bounds = jnp.asarray(np.random.default_rng(1).uniform(4.0, 8.0, 8), f32)
+    du_f, phi_f, U_f = solve_full(bounds)
+    du_e, phi_e, U_e = solve_exit(bounds)
+    scale = float(jnp.max(jnp.abs(du_f))) + 1e-12
+    assert float(jnp.max(jnp.abs(du_f - du_e))) / scale < 1e-3
+    assert float(jnp.max(jnp.abs(U_f - U_e))) / (float(jnp.max(jnp.abs(U_f))) + 1e-12) < 1e-3
