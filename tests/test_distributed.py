@@ -116,7 +116,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_truth() -> float:
+def _single_process_truth(n_devices: int) -> float:
     """The same fleet's mean cost, computed in-process (8-dev mesh)."""
     import jax
     import jax.numpy as jnp
@@ -139,7 +139,7 @@ def _single_process_truth() -> float:
     A = jnp.asarray(A, jnp.float32)
     B = jnp.asarray(B, jnp.float32)
     cfg = ADMMConfig(max_iter=10, tol=1e-4)
-    nb = 2 * 4  # workers run 2 procs x 2 devices = 4 global devices
+    nb = 2 * n_devices  # workers run nproc procs x 2 devices each
     x0s = np.random.default_rng(0).normal(0, 0.1, (nb, d)).astype(np.float32)
 
     def one(x0):
@@ -157,10 +157,11 @@ def _single_process_truth() -> float:
     return float(jnp.mean(c))
 
 
-def test_two_process_fleet_matches_single_process(tmp_path):
-    """2 OS processes x 2 CPU devices: initialize + host_shard +
-    make_global_batch + sharded ADMM fleet + psum == in-process truth."""
-    nproc = 2
+@pytest.mark.parametrize("nproc", [2, pytest.param(4, marks=pytest.mark.slow)])
+def test_multi_process_fleet_matches_single_process(tmp_path, nproc):
+    """2 (and, slow-marked, 4) OS processes x 2 CPU devices each:
+    initialize + host_shard + make_global_batch + sharded ADMM fleet +
+    psum == in-process truth."""
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     port = _free_port()
@@ -192,14 +193,18 @@ def test_two_process_fleet_matches_single_process(tmp_path):
         line.split()[1:] for out in outs for line in out.splitlines()
         if line.startswith("SHARD")
     )
-    assert [s[1:] for s in shard_lines] == [["0", "49"], ["50", "99"]]
+    starts = [int(s[1]) for s in shard_lines]
+    stops = [int(s[2]) for s in shard_lines]
+    assert starts[0] == 0 and stops[-1] == 99
+    for a_stop, b_start in zip(stops, starts[1:]):
+        assert b_start == a_stop + 1
 
     costs = [
         float(line.split()[2]) for out in outs for line in out.splitlines()
         if line.startswith("MEANCOST")
     ]
     assert len(costs) == nproc
-    truth = _single_process_truth()
+    truth = _single_process_truth(nproc * 2)
     for c in costs:
         assert abs(c - truth) < 1e-4 * max(1.0, abs(truth)), (costs, truth)
 
