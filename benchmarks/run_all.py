@@ -171,9 +171,12 @@ def main():
     # never beat the ~30 ms tunnel RTT while the reference op costs
     # 23 ms on a local laptop — measured single-dispatch number kept in
     # the oracle column for transparency.
+    _lifted_row_name = "lifted operator build (N=100, d=2, dispatch-amortized)"
     only = os.environ.get("BENCH_ONLY")
-    if not only or any(s.strip().lower() in "lifted operator build".lower()
-                       for s in only.split(",")):
+    if only and not any(s.strip().lower() in _lifted_row_name.lower()
+                        for s in only.split(",")):
+        print(f"{_lifted_row_name}: skipped (BENCH_ONLY)")
+    else:
         out = build(A1, B1)
         _readback(out)
         ts = []
@@ -184,7 +187,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         single_ms = min(ts) * 1e3
         RESULTS.append(dict(
-            name="lifted operator build (N=100, d=2, dispatch-amortized)",
+            name=_lifted_row_name,
             ours_ms=round(per_build_ms, 3), ref_ms=23.0,
             speedup=round(23.0 / per_build_ms, 2),
             oracle=(f"K={K_chain} data-dependent builds in one dispatch; "

@@ -115,7 +115,6 @@ def ilqr_backward_box_parallel(
     u_lower,
     u_upper,
     reg: float | jax.Array = 0.0,
-    eps: float = 1e-6,
     mask_iters: int = 3,
     clamp0=None,
     return_clamp: bool = False,
@@ -200,7 +199,8 @@ def ilqr_backward_box_parallel(
     Cuu_full = Cts[:, d:, d:]
     Cux_full = Cts[:, d:, :d]
     cu_full = cts[:, d:]
-    fast = d <= 4  # adjugate combine/gain inverses (see inv_small)
+    fast = d <= 4 and m <= 4  # adjugate inverses act on (d,d) combine
+    # blocks AND (m,m) gain blocks (inv_small supports trailing dim <= 4)
 
     def masked_pass(clamp_lo, clamp_hi):
         clamp = clamp_lo | clamp_hi
@@ -364,7 +364,12 @@ def rollout_closed_loop_clipped(
 
     def step(x, inp):
         Kt, kt, xnt, unt = inp
-        u = jnp.clip(unt + kt + Kt @ (x - xnt), lo, hi)
+        # expanded matvec: exact f32 on the VPU (same rationale as
+        # rollout_closed_loop — TPU dot_general is multi-pass bf16 even
+        # at HIGHEST, and K rows reach 1e3-scale on stiff problems)
+        u = jnp.clip(
+            unt + kt + jnp.sum(Kt * (x - xnt)[None, :], axis=-1), lo, hi
+        )
         return f(x, u), (x, u)
 
     _, (xs, us) = lax.scan(step, x0, (K, k, x_nom, u_nom))

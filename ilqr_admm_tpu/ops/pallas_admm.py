@@ -189,7 +189,14 @@ def _admm_kernel_u_only(
         # under-converged tiles (tol above it, measured -2.3pp converged
         # fraction). The exact iterate's residual is floor-free, and the
         # extra 6-pass GEMM amortizes over the chunk.
-        n_chunks = -(-n_outer // check_every)
+        #
+        # Iteration accounting: a chunk EXECUTES (check_every-1) refresh
+        # blocks + 1 polish iteration, so n_chunks is sized on executed
+        # iterations — an unconverged tile runs >= the fixed schedule's
+        # n_main (up to one chunk extra, same overrun class as the
+        # refresh blocks), never fewer.
+        iters_per_chunk = (check_every - 1) * refresh_every + 1
+        n_chunks = -(-n_main // iters_per_chunk)
 
         def w_cond(state):
             i, _z, _l, _s, _c, _u, r = state

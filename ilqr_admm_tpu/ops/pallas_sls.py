@@ -199,7 +199,10 @@ def _sls_admm_kernel(
         # while the DUAL residual (per-iteration z motion) is the live
         # one, so the test takes the max of both. The iterates carry the
         # mxu_dot precision floor (~7e-4 for the default bf16x3); pick
-        # stop_tol above it.
+        # stop_tol above it. n_chunks is a ceil: an unconverged tile
+        # runs up to check_every-1 iterations PAST n_iters (extra
+        # iterations only tighten convergence; results therefore differ
+        # slightly from the stop_tol=0 schedule for stragglers).
         n_chunks = -(-n_iters // check_every)
 
         def w_cond(state):

@@ -481,3 +481,32 @@ class TestBoxQPEnum:
             np.abs(np.asarray(k_e) - np.asarray(k_n)).max()
         )
         assert np.allclose(np.asarray(K_e), np.asarray(K_n), atol=1e-4)
+
+
+def test_backward_box_parallel_overactuated(rng):
+    """m > 4 must not crash the parallel backward (r4 review finding:
+    the adjugate fast path checked only the state dim; inv_small on the
+    (m, m) gain blocks raised at trace time for m >= 5)."""
+    from ilqr_admm_tpu.ops.constrained_riccati import (
+        ilqr_backward_box,
+        ilqr_backward_box_parallel,
+    )
+
+    N, d, m = 10, 3, 5
+    A = jnp.asarray(np.eye(d) + 0.05 * rng.normal(size=(N, d, d)))
+    B = jnp.asarray(0.3 * rng.normal(size=(N, d, m)))
+    M = rng.normal(size=(N, d + m, d + m))
+    Cts = jnp.asarray(M @ M.transpose(0, 2, 1) + 0.5 * np.eye(d + m))
+    cts = jnp.asarray(rng.normal(size=(N, d + m)))
+    u_nom = jnp.asarray(0.2 * rng.normal(size=(N, m)))
+    K_p, k_p = ilqr_backward_box_parallel(
+        A, B, Cts, cts, u_nom, -0.3, 0.3, mask_iters=6
+    )
+    assert np.isfinite(np.asarray(K_p)).all()
+    # loose-bounds sanity: matches the exact sequential pass when no
+    # bound binds
+    K_s, k_s = ilqr_backward_box(A, B, Cts, cts, u_nom, -1e3, 1e3,
+                                 qp_method="newton")
+    K_w, k_w = ilqr_backward_box_parallel(A, B, Cts, cts, u_nom, -1e3, 1e3)
+    np.testing.assert_allclose(np.asarray(K_w), np.asarray(K_s), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(k_w), np.asarray(k_s), atol=1e-7)

@@ -171,3 +171,26 @@ def test_pallas_u_only_early_exit_matches_full_schedule():
     r_f = jnp.max(jnp.abs(u_f - zu_f), axis=1)
     r_e = jnp.max(jnp.abs(u_e - zu_e), axis=1)
     np.testing.assert_allclose(np.asarray(r_e), np.asarray(r_f), atol=2e-4)
+
+
+def test_pallas_early_exit_with_delta_mode():
+    """stop_tol combined with refresh_every=8 (delta-GEMM mode): the
+    chunk accounting counts EXECUTED iterations — (check_every-1)
+    refresh blocks + 1 polish per chunk — so unconverged tiles run at
+    least the fixed schedule's budget; converged output matches."""
+    N = 40
+    plant, A, B, cost = _problem(N)
+    kw = dict(u_lower=-5.0, u_upper=5.0, rho_u=1e-1, n_iters=96,
+              batch_tile=8, refresh_every=8, interpret=True)
+    solve_full = make_pallas_lqt_admm(A, B, cost, **kw)
+    solve_exit = make_pallas_lqt_admm(A, B, cost, stop_tol=1e-5,
+                                      check_every=4, **kw)
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.normal(0, 0.1, size=(8, plant.x_dim)), jnp.float32)
+    x_f, u_f, _, zu_f = solve_full(x0s)
+    x_e, u_e, _, zu_e = solve_exit(x0s)
+    np.testing.assert_allclose(np.asarray(u_e), np.asarray(u_f), atol=5e-4)
+    r_e = np.asarray(jnp.linalg.norm(u_e - zu_e, axis=-1))
+    r_f = np.asarray(jnp.linalg.norm(u_f - zu_f, axis=-1))
+    # exited tiles are at least as converged as the fixed schedule
+    assert r_e.max() <= r_f.max() + 5e-4, (r_e.max(), r_f.max())
