@@ -57,18 +57,26 @@ def batched_ilqr_solve(
 def batched_boxddp_solve(
     f: Callable, get_AB: Callable, get_Cs: Callable, cost_fn: Callable,
     x0s, u0s, u_lower, u_upper, cfg: ILQRConfig = ILQRConfig(),
+    riccati: str = "seq", mask_iters: int = 1,
 ):
     """Batch of control-limited boxDDP solves (multi-start fleets).
 
     x0s: (batch, d); u0s: (batch, N, m). Returns a batched ILQRState;
     every instance's controls satisfy the box exactly.
+
+    riccati='seq' (default) is usually right for fleets — the
+    sequential per-stage box-QP batches ACROSS instances, keeping the
+    device busy; 'parallel' (the r4 time-parallel active-set backward)
+    is for long horizons at small batch where per-instance latency
+    dominates.
     """
     from ilqr_admm_tpu.solvers.boxddp import boxddp_init, boxddp_solve
 
     def one(x0, u0):
         st0 = boxddp_init(f, cost_fn, x0, u0, u_lower, u_upper)
         return boxddp_solve(
-            f, get_AB, get_Cs, cost_fn, st0, u_lower, u_upper, cfg=cfg
+            f, get_AB, get_Cs, cost_fn, st0, u_lower, u_upper, cfg=cfg,
+            riccati=riccati, mask_iters=mask_iters,
         )
 
     return jax.vmap(one)(x0s, u0s)
