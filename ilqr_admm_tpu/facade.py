@@ -375,15 +375,20 @@ class SLS(_Base):
     def ADMM_LQT_Batch(
         self, x0, project_x=None, project_u=None, max_iter=20, rho_x=None,
         rho_u=None, alpha=1.0, tol=1e-3, verbose=False, log=False,
-        use_qr=None,
+        use_qr=None, anderson_m=0,
     ):
         """Constrained LQT, batch x-update (reference `sls.py:252-293`).
+
+        anderson_m > 0 enables safeguarded type-II Anderson acceleration
+        of the consensus iteration (ADMMConfig.anderson_m; not in the
+        reference — plain ADMM throughout).
 
         Returns (x_flat, u_flat[, logs]).
         """
         project_x = project_x or None
         project_u = project_u or None
-        cfg = ADMMConfig(max_iter=max_iter, alpha=alpha, tol=tol, log=log)
+        cfg = ADMMConfig(max_iter=max_iter, alpha=alpha, tol=tol, log=log,
+                         anderson_m=anderson_m)
         if use_qr is None:
             use_qr = self._auto_use_qr()
         x, u, info = lqt_admm_batch(
@@ -402,6 +407,7 @@ class SLS(_Base):
     def ADMM_LQT_DP(
         self, x0, project_x=None, project_u=None, max_iter=2000, rho_x=None,
         rho_u=None, alpha=1.0, tol=1e-3, verbose=False, log=False,
+        anderson_m=0,
     ):
         """Constrained LQT, DP x-update (reference `sls.py:298-317`).
 
@@ -409,7 +415,8 @@ class SLS(_Base):
         """
         project_x = project_x or None
         project_u = project_u or None
-        cfg = ADMMConfig(max_iter=max_iter, alpha=alpha, tol=tol, log=log)
+        cfg = ADMMConfig(max_iter=max_iter, alpha=alpha, tol=tol, log=log,
+                         anderson_m=anderson_m)
         x, u, aux, info = lqt_admm_dp(
             self.A, self.B, self.quad_cost, jnp.asarray(x0, _dtype()),
             project_x, project_u, rho_x, rho_u, cfg,
@@ -427,7 +434,7 @@ class SLS(_Base):
     def ADMM_SLS(
         self, project_x=None, project_u=None, max_iter=5000, rho_x=0.0,
         rho_u=0.0, alpha=1.0, tol=1e-3, verbose=False, log=False,
-        robust_dim=None,
+        robust_dim=None, anderson_m=0,
     ):
         """Robust SLS-ADMM (reference `sls.py:319-454`).
 
@@ -435,7 +442,8 @@ class SLS(_Base):
         """
         project_x = project_x or None
         project_u = project_u or None
-        cfg = ADMMConfig(max_iter=max_iter, alpha=alpha, tol=tol, stall_tol=1e-2, log=log)
+        cfg = ADMMConfig(max_iter=max_iter, alpha=alpha, tol=tol, stall_tol=1e-2, log=log,
+                         anderson_m=anderson_m)
         du, phi_u, info = sls_admm(
             self.A, self.B, self.quad_cost, project_x, project_u, rho_x, rho_u,
             robust_dim=robust_dim, cfg=cfg,

@@ -200,6 +200,21 @@ class ADMMConfig:
     # penalty).
     accel: bool = False
     accel_eta: float = 1.02
+    # Type-II Anderson acceleration (Walker & Ni 2011; safeguarded as in
+    # SCS 3.0 / A2DR) on the ADMM fixed-point map v = (z, lambda) ->
+    # T(v): keep the last anderson_m successive differences of iterates
+    # and residuals, solve a small regularized least-squares for the
+    # extrapolation weights, and restart the memory whenever the
+    # fixed-point residual exceeds anderson_safeguard x the best residual
+    # since the last restart (plain ADMM step on restart). Convergence is
+    # only ever declared on a *plain* step's residuals, and the returned
+    # (x, z, lambda) always come from a plain evaluation, so accepted
+    # solutions carry the same certificates as unaccelerated ADMM.
+    # Targets the slow linear tail of consensus ADMM (the reference runs
+    # plain ADMM throughout). Mutually exclusive with accel/adaptive_rho.
+    anderson_m: int = 0  # memory depth; 0 = off
+    anderson_reg: float = 1e-10  # relative Tikhonov reg of the LS coefficients
+    anderson_safeguard: float = 10.0  # restart threshold vs best-since-restart
 
     @property
     def stall(self) -> float:

@@ -85,6 +85,162 @@ def validate_constraint_blocks(project_x, rho_x, project_u, rho_u):
             )
 
 
+def _make_plain_step(f_argmin, project_x, project_u, cfg, wx, wu, dtype):
+    """One plain scaled-ADMM iteration as a pure function of (z, λ).
+
+    Returns (out, z_x_new, z_u_new, lmb_x_new, lmb_u_new, prim, dual) —
+    the building block the Anderson-accelerated driver wraps as the
+    fixed-point map T(v)."""
+    has_x = project_x is not None
+    has_u = project_u is not None
+
+    def step(z_x, z_u, lmb_x, lmb_u):
+        reg_x = z_x - lmb_x if has_x else None
+        reg_u = z_u - lmb_u if has_u else None
+        out = f_argmin(reg_x, reg_u)
+        x_x, x_u = out[0], out[1]
+        prim = jnp.asarray(0.0, dtype)
+        dual = jnp.asarray(0.0, dtype)
+        z_x_new, lmb_x_new = z_x, lmb_x
+        z_u_new, lmb_u_new = z_u, lmb_u
+        if has_x:
+            z_rel = cfg.alpha * x_x + (1.0 - cfg.alpha) * z_x
+            z_x_new = project_x(z_rel + lmb_x)
+            r = x_x - z_x_new
+            lmb_x_new = lmb_x + r
+            prim = prim + _norm(wx(r))
+            dual = dual + _norm(wx(z_x_new - z_x))
+        if has_u:
+            z_rel = cfg.alpha * x_u + (1.0 - cfg.alpha) * z_u
+            z_u_new = project_u(z_rel + lmb_u)
+            r = x_u - z_u_new
+            lmb_u_new = lmb_u + r
+            prim = prim + _norm(wu(r))
+            dual = dual + _norm(wu(z_u_new - z_u))
+        return out, z_x_new, z_u_new, lmb_x_new, lmb_u_new, prim, dual
+
+    return step
+
+
+def _admm_solve_anderson(
+    plain_step, shape_x, shape_u, cfg, z_x, z_u, lmb_x, lmb_u, zeros_out,
+    dtype,
+):
+    """Safeguarded type-II Anderson acceleration of the ADMM map.
+
+    The fixed-point variable is v = (z_x, z_u, λ_x, λ_u) flattened; one
+    plain ADMM iteration is T(v) and g = T(v) - v its residual. The last
+    `anderson_m` secant pairs (Δv_i, Δg_i) feed a regularized
+    least-squares for the extrapolation weights γ (Walker & Ni 2011,
+    type II), giving v⁺ = v + g - (ΔV + ΔG)ᵀγ. Safeguard: whenever
+    ‖g‖ exceeds `anderson_safeguard` x the best residual since the last
+    restart, the memory is cleared and a plain step is taken (SCS-3.0
+    style restart-on-increase). Convergence is declared only on a plain
+    step's residuals and the returned iterates are that plain step's
+    outputs, so results carry unaccelerated-ADMM certificates.
+    """
+    import numpy as _np
+
+    sx = int(_np.prod(shape_x))
+    su = int(_np.prod(shape_u))
+    D = 2 * (sx + su)
+    m = cfg.anderson_m
+
+    def pack(zx, zu, lx, lu):
+        return jnp.concatenate(
+            [zx.reshape(-1), zu.reshape(-1), lx.reshape(-1), lu.reshape(-1)]
+        )
+
+    def unpack(v):
+        return (
+            v[:sx].reshape(shape_x),
+            v[sx : sx + su].reshape(shape_u),
+            v[sx + su : 2 * sx + su].reshape(shape_x),
+            v[2 * sx + su :].reshape(shape_u),
+        )
+
+    big = jnp.asarray(1e6, dtype)
+    logs0 = jnp.zeros((cfg.max_iter, 2), dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    def cond(state):
+        j, *_rest, status = state
+        return jnp.logical_and(j < cfg.max_iter, status == SolveStatus.RUNNING)
+
+    def body(state):
+        (j, v, ret, prim, dual, logs, mem_dv, mem_dg, prev_v, prev_g,
+         has_prev, best, status) = state
+        z_x, z_u, l_x, l_u = unpack(v)
+        out, zx_n, zu_n, lx_n, lu_n, prim_new, dual_new = plain_step(
+            z_x, z_u, l_x, l_u
+        )
+        v_plain = pack(zx_n, zu_n, lx_n, lu_n)
+        g = v_plain - v
+        gnorm = _norm(g)
+
+        restart = jnp.logical_and(
+            has_prev, gnorm > cfg.anderson_safeguard * best
+        )
+        push = jnp.logical_and(has_prev, jnp.logical_not(restart))
+        mem_dv_p = jnp.roll(mem_dv, -1, axis=0).at[-1].set(v - prev_v)
+        mem_dg_p = jnp.roll(mem_dg, -1, axis=0).at[-1].set(g - prev_g)
+        zero_dv = jnp.zeros_like(mem_dv)
+        mem_dv_new = jnp.where(push, mem_dv_p, jnp.where(restart, zero_dv, mem_dv))
+        mem_dg_new = jnp.where(push, mem_dg_p, jnp.where(restart, zero_dv, mem_dg))
+
+        # type-II LS for the mixing weights; zero (unfilled) rows drop out
+        # through the Tikhonov term, and an all-zero memory yields γ=0 ⇒
+        # v_aa = v + g = the plain step.
+        gram = mem_dg_new @ mem_dg_new.T
+        reg = cfg.anderson_reg * jnp.trace(gram) + jnp.asarray(1e-30, dtype)
+        gam = jnp.linalg.solve(gram + reg * eye_m, mem_dg_new @ g)
+        v_aa = v + g - (mem_dv_new + mem_dg_new).T @ gam
+        v_next = jnp.where(restart, v_plain, v_aa)
+
+        best_new = jnp.where(
+            restart, jnp.asarray(jnp.inf, dtype), jnp.minimum(best, gnorm)
+        )
+        logs = logs.at[j].set(jnp.stack([prim_new, dual_new]))
+        converged = jnp.logical_and(prim_new < cfg.tol, dual_new < cfg.tol)
+        prim_change = jnp.abs(prim - prim_new) / (prim + _EPS)
+        dual_change = jnp.abs(dual - dual_new) / (dual + _EPS)
+        stalled = jnp.logical_and(
+            prim_change < cfg.stall, dual_change < cfg.stall
+        )
+        # a restart re-enters the plain map — residuals can repeat across
+        # the revert without being a genuine stall
+        stalled = jnp.logical_and(stalled, jnp.logical_not(restart))
+        status_new = jnp.where(
+            converged,
+            SolveStatus.CONVERGED,
+            jnp.where(stalled, SolveStatus.STALLED, SolveStatus.RUNNING),
+        ).astype(jnp.int32)
+        ret_new = (out, zx_n, zu_n, lx_n, lu_n)
+        return (
+            j + 1, v_next, ret_new, prim_new, dual_new, logs, mem_dv_new,
+            mem_dg_new, v, g, jnp.logical_not(restart), best_new, status_new,
+        )
+
+    v0 = pack(z_x, z_u, lmb_x, lmb_u)
+    ret0 = (zeros_out, z_x, z_u, lmb_x, lmb_u)
+    state0 = (
+        jnp.int32(0), v0, ret0, big, big, logs0,
+        jnp.zeros((m, D), dtype), jnp.zeros((m, D), dtype),
+        jnp.zeros((D,), dtype), jnp.zeros((D,), dtype),
+        jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
+        jnp.int32(SolveStatus.RUNNING),
+    )
+    (j, _v, ret, prim, dual, logs, *_mem, status) = lax.while_loop(
+        cond, body, state0
+    )
+    out, z_x, z_u, lmb_x, lmb_u = ret
+    status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status)
+    info = ADMMInfo(iters=j, prim_res=prim, dual_res=dual, status=status, logs=logs)
+    x_x, x_u = out[0], out[1]
+    aux = out[2] if len(out) > 2 else None
+    return x_x, x_u, aux, lmb_x, lmb_u, z_x, z_u, info
+
+
 def admm_solve(
     f_argmin: Callable,
     project_x: Optional[Callable],
@@ -142,6 +298,14 @@ def admm_solve(
             "momentum sequence assumes a fixed penalty (each rho change "
             "would invalidate the accumulated extrapolation)"
         )
+    anderson = cfg.anderson_m > 0
+    if anderson and (accel or adaptive):
+        raise ValueError(
+            "anderson_m > 0 is incompatible with accel/adaptive_rho: "
+            "Anderson extrapolates the fixed-point map of a *fixed* ADMM "
+            "iteration (momentum or penalty changes would alter the map "
+            "mid-memory)"
+        )
 
     z_x = jnp.zeros(shape_x, dtype) if z_x_init is None else jnp.asarray(z_x_init)
     z_u = jnp.zeros(shape_u, dtype) if z_u_init is None else jnp.asarray(z_u_init)
@@ -171,6 +335,15 @@ def admm_solve(
     zeros_out = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), out_shapes
     )
+
+    if anderson:
+        plain_step = _make_plain_step(
+            f_argmin, project_x, project_u, cfg, wx, wu, dtype
+        )
+        return _admm_solve_anderson(
+            plain_step, shape_x, shape_u, cfg, z_x, z_u, lmb_x, lmb_u,
+            zeros_out, dtype,
+        )
 
     big = jnp.asarray(1e6, dtype)
     logs0 = jnp.zeros((cfg.max_iter, 2), dtype)

@@ -69,6 +69,7 @@ def _ilqr_admm_impl(
     unroll: int = 8,
     linesearch_rollout=None,
     line_search: str = "inner",
+    anderson_m: int = 0,
 ) -> ILQRADMMResult:
     """Run constrained iLQR-ADMM from a nominal trajectory guess.
 
@@ -118,6 +119,7 @@ def _ilqr_admm_impl(
             f, get_AB, cost_fn, x_nom0, u_nom0, get_Cs, quad_cost,
             project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
             alphas, alpha, tol, outer_tol, osc_tol, riccati, warm, unroll,
+            anderson_m=anderson_m,
         )
     if method != "batch":
         raise ValueError(f"method must be 'dp' or 'batch', got {method!r}")
@@ -132,7 +134,9 @@ def _ilqr_admm_impl(
     Qr_l = block_diag_stacked(Qr) if (Qr is not None and project_x is not None) else None
     Rr_l = block_diag_stacked(Rr) if (Rr is not None and project_u is not None) else None
 
-    admm_cfg = ADMMConfig(max_iter=max_admm_iter, alpha=alpha, tol=tol)
+    admm_cfg = ADMMConfig(
+        max_iter=max_admm_iter, alpha=alpha, tol=tol, anderson_m=anderson_m
+    )
 
     def outer_body(carry):
         x_nom, u_nom, cost, it, status, z_x, z_u, l_x, l_u, cost_log = carry
@@ -296,6 +300,7 @@ def _ilqr_admm_dp(
     project_x, project_u, rho_x, rho_u, max_iter, max_admm_iter,
     alphas, alpha, tol, outer_tol, osc_tol, riccati="chol", warm=None,
     unroll: int = 8,
+    anderson_m: int = 0,
 ) -> ILQRADMMResult:
     """DP (Riccati) x-update iLQR-ADMM — scan-based, O(N) memory."""
     from ilqr_admm_tpu.ops.riccati import ilqr_backward, quad_cost_model
@@ -317,7 +322,9 @@ def _ilqr_admm_dp(
     has_x = project_x is not None and Qr is not None
     has_u = project_u is not None and Rr is not None
 
-    admm_cfg = ADMMConfig(max_iter=max_admm_iter, alpha=alpha, tol=tol)
+    admm_cfg = ADMMConfig(
+        max_iter=max_admm_iter, alpha=alpha, tol=tol, anderson_m=anderson_m
+    )
 
     def get_model(x_nom, u_nom):
         if get_Cs is not None:

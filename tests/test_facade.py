@@ -55,6 +55,14 @@ def test_sls_notebook_workflow():
     assert c_con >= c_unc
     assert abs(c_con - 12.50) < 0.15
 
+    # anderson_m passthrough: same constrained optimum, fewer iterations
+    x_aa, u_aa, log_aa = sls.ADMM_LQT_Batch(
+        x0, project_u=lambda u: project_bound(u, -5.0, 5.0),
+        max_iter=100, rho_u=1e-2, tol=1e-4, log=True, anderson_m=5,
+    )
+    np.testing.assert_allclose(np.asarray(u_aa), np.asarray(u_c), atol=1e-3)
+    assert log_aa.shape[0] < log.shape[0]
+
     # DP variant returns gains usable for MC rollouts
     x_c2, u_c2, K2, k2 = sls.ADMM_LQT_DP(
         x0, project_u=lambda u: project_bound(u, -5.0, 5.0),

@@ -323,6 +323,68 @@ def test_accel_converges_faster_from_bad_rho():
     assert int(info_p.status) != SolveStatus.CONVERGED
 
 
+def test_anderson_matches_plain_solution():
+    """Safeguarded type-II Anderson acceleration (ADMMConfig.anderson_m,
+    Walker & Ni 2011) reaches the same constrained optimum as plain ADMM
+    in strictly fewer iterations on the control-bounds LQT (measured:
+    8 vs 24 at m=5). Returned iterates come from a plain evaluation, so
+    the projected z is exactly feasible."""
+    plant, A, B, cost = control_bounds_problem()
+    N = 100
+    x0 = jnp.zeros(plant.x_dim)
+    proj_u = lambda u: project_bound(u, -5.0, 5.0)
+
+    _, up, info_p = lqt_admm_batch(
+        A, B, cost, x0, project_u=proj_u, rho_u=1e-2,
+        cfg=ADMMConfig(max_iter=300, tol=1e-6, stall_tol=1e-15))
+    xa, ua, info_a = lqt_admm_batch(
+        A, B, cost, x0, project_u=proj_u, rho_u=1e-2,
+        cfg=ADMMConfig(max_iter=300, tol=1e-6, stall_tol=1e-15,
+                       anderson_m=5))
+    np.testing.assert_allclose(np.asarray(ua), np.asarray(up), atol=1e-4)
+    assert int(info_a.status) == SolveStatus.CONVERGED
+    assert int(info_a.iters) < int(info_p.iters)
+    assert float(jnp.max(jnp.abs(ua))) <= 5.0 + 1e-6
+
+
+def test_anderson_converges_from_bad_rho():
+    """From a 1000x-too-small rho, Anderson (m=5) converges in a few
+    dozen iterations (measured: 21) where plain ADMM needs >20,000 and
+    Nesterov momentum ~650 — the extrapolation solves out the slow
+    linear consensus tail instead of merely damping it."""
+    plant, A, B, cost = control_bounds_problem()
+    N = 100
+    x0 = jnp.zeros(plant.x_dim)
+    proj_u = lambda u: project_bound(u, -5.0, 5.0)
+
+    xa, ua, info_a = lqt_admm_batch(
+        A, B, cost, x0, project_u=proj_u, rho_u=1e-5,
+        cfg=ADMMConfig(max_iter=500, tol=1e-6, stall_tol=1e-15,
+                       anderson_m=5))
+    assert int(info_a.status) == SolveStatus.CONVERGED
+    assert int(info_a.iters) < 60, int(info_a.iters)
+    cost_a = float(cost(xa.reshape(N, -1), ua.reshape(N, -1)))
+    assert abs(cost_a - 1.250e1) < 2e-1, cost_a
+    assert float(jnp.max(jnp.abs(ua))) <= 5.0 + 1e-6
+
+    # plain ADMM is nowhere near converged within the same budget
+    _, _, info_p = lqt_admm_batch(
+        A, B, cost, x0, project_u=proj_u, rho_u=1e-5,
+        cfg=ADMMConfig(max_iter=500, tol=1e-6, stall_tol=1e-15))
+    assert int(info_p.status) != SolveStatus.CONVERGED
+
+
+def test_anderson_rejects_accel_and_adaptive():
+    plant, A, B, cost = control_bounds_problem()
+    x0 = jnp.zeros(plant.x_dim)
+    proj_u = lambda u: project_bound(u, -5.0, 5.0)
+    for bad in (dict(accel=True), dict(adaptive_rho=True)):
+        with pytest.raises(ValueError, match="anderson"):
+            lqt_admm_batch(
+                A, B, cost, x0, project_u=proj_u, rho_u=1e-2,
+                cfg=ADMMConfig(max_iter=10, anderson_m=5, **bad))
+
+
 def test_accel_rejects_adaptive_rho():
     plant, A, B, cost = control_bounds_problem()
     x0 = jnp.zeros(plant.x_dim)
