@@ -237,6 +237,11 @@ def ilqr_backward_box_parallel(
         the gradient test is only informative for CLAMPED dims (it is
         their multiplier estimate): release on wrong multiplier sign.
         Free dims clamp when their masked step crosses a bound.
+
+        Also returns the total KKT violation of the masked solution
+        (wrong-sign multiplier magnitudes on clamped dims + bound-crossing
+        magnitudes on free dims) — the merit the vetted multi-exchange
+        loop monitors; it is zero exactly at the active-set fixed point.
         """
         # broadcast-multiply-sum matmuls: tiny batched HIGHEST dot_generals
         # lower pathologically on TPU (see parallel_riccati._bmm)
@@ -250,23 +255,50 @@ def ilqr_backward_box_parallel(
         clamp = clamp_lo | clamp_hi
         new_lo = (clamp_lo & (g >= 0)) | (~clamp & (k <= dlo))
         new_hi = (clamp_hi & (g <= 0)) | (~clamp & (k >= dhi))
-        return new_lo, new_hi
+        viol = jnp.sum(jnp.where(clamp_lo, jnp.maximum(-g, 0.0), 0.0))
+        viol = viol + jnp.sum(jnp.where(clamp_hi, jnp.maximum(g, 0.0), 0.0))
+        viol = viol + jnp.sum(
+            jnp.where(~clamp, jnp.maximum(dlo - k, 0.0)
+                      + jnp.maximum(k - dhi, 0.0), 0.0)
+        )
+        return new_lo, new_hi, viol
 
     # seed from the warm-started set when given, else from the
-    # unconstrained step; then iterate the exchange (each pass O(log N))
+    # unconstrained step; then iterate the exchange (each pass O(log N)).
     if clamp0 is None:
         _, k_unc = backward(A, B, Cts, cts, fast_inverse=fast)
         clamp_lo = k_unc <= dlo
         clamp_hi = k_unc >= dhi
     else:
         clamp_lo, clamp_hi = clamp0
-    K = k = None
-    for _ in range(max(1, mask_iters)):
-        K, k, J, eta = masked_pass(clamp_lo, clamp_hi)
-        clamp_lo, clamp_hi = exchange(clamp_lo, clamp_hi, k, J, eta)
+    K, k, J, eta = masked_pass(clamp_lo, clamp_hi)
+    prop_lo, prop_hi, viol = exchange(clamp_lo, clamp_hi, k, J, eta)
+    # Vetted multi-exchange (mask_iters >= 2): the exchange iterates
+    # UNVETTED (the KKT-violation merit is transiently non-monotone
+    # along convergent exchange paths — rejecting on increase freezes
+    # progress: measured 25/30 random cross-term problems stuck vs 0/30
+    # free-running), but the RETURNED gains/warm-start set are those of
+    # the lowest-violation pass seen, not the last. On a convergent
+    # exchange viol -> 0 so best == last (bit-identical to the
+    # free-running variant); if the f32 exchange cycles (observed on
+    # heavily saturated problems at mask_iters >= 2), the caller gets
+    # the least-violating member of the cycle instead of an arbitrary
+    # phase, and the line search + carried warm set take it from there.
+    best_K, best_k, best_viol = K, k, viol
+    best_lo, best_hi = prop_lo, prop_hi
+    for _ in range(max(1, mask_iters) - 1):
+        K, k, J, eta = masked_pass(prop_lo, prop_hi)
+        lo2, hi2, viol = exchange(prop_lo, prop_hi, k, J, eta)
+        better = viol < best_viol
+        best_K = jnp.where(better, K, best_K)
+        best_k = jnp.where(better, k, best_k)
+        best_lo = jnp.where(better, lo2, best_lo)
+        best_hi = jnp.where(better, hi2, best_hi)
+        best_viol = jnp.where(better, viol, best_viol)
+        prop_lo, prop_hi = lo2, hi2
     if return_clamp:
-        return K, k, (clamp_lo, clamp_hi)
-    return K, k
+        return best_K, best_k, (best_lo, best_hi)
+    return best_K, best_k
 
 
 @highest_precision

@@ -146,12 +146,21 @@ def boxddp_solve(
     warm-started across outer iterations; mask_iters=1 (default) runs
     one masked pass + one primal-dual exchange per outer iteration —
     the cheapest AND most robust setting, because every exchange is
-    vetted by a line search before the next (higher mask_iters exchange
-    on unvetted f32 gradients and can mis-converge on heavily saturated
-    tasks; measured on the N=500 car: mi=1 -> 1.90535 in 105 ms on TPU
-    vs the sequential pass's identical cost in 1091 ms; mi=2 f32
-    cycled to 1.975). KKT-certified vs the sequential backward by
-    `box_kkt_residual` (test_boxddp).
+    vetted by a line search before the next. Higher mask_iters takes
+    several unvetted set exchanges per backward, which changes the
+    iteration PATH on nonconvex problems and can land in a different
+    local basin (measured on the N=500 car: mi=1 -> 1.90535 in 105 ms
+    on TPU vs the sequential pass's identical cost in 1091 ms; mi=2
+    converges — in f64 too, so not a precision artifact — to an
+    alternate 1.975 basin). Late-r4 the backward returns the
+    lowest-KKT-violation pass of the exchange iteration instead of the
+    last, which bounds the damage of f32 set oscillation within one
+    call (the degraded CPU-f32 path improves monotonically with
+    mask_iters where it previously regressed) without perturbing
+    convergent exchanges (bit-identical there; cold-start exactness
+    vs the sequential backward is test-pinned). Basin selection on
+    saturated nonconvex tasks still wants mask_iters=1. KKT-certified
+    vs the sequential backward by `box_kkt_residual` (test_boxddp).
     """
     alphas = line_search_alphas(cfg, state0.x_nom.dtype)
     dtype = state0.x_nom.dtype

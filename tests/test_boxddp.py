@@ -483,6 +483,47 @@ class TestBoxQPEnum:
         assert np.allclose(np.asarray(K_e), np.asarray(K_n), atol=1e-4)
 
 
+def test_backward_box_parallel_cold_start_reaches_sequential(rng):
+    """Cold-started multi-exchange converges EXACTLY to the sequential
+    box-QP backward on convex LQ problems — including heavily saturated
+    (87% clamped) and cross-term (Cux != 0) cases — and the
+    best-violation pass selection returns that fixed point unchanged
+    (the selection must be bit-identical to free-running iteration on
+    convergent exchanges; an early reject-on-increase variant froze
+    25/30 of these seeds short of the fixed point)."""
+    from ilqr_admm_tpu.ops.constrained_riccati import (
+        ilqr_backward_box,
+        ilqr_backward_box_parallel,
+    )
+
+    def make(seed, N=24, d=3, m=2):
+        r = np.random.default_rng(seed)
+        A = jnp.asarray(np.eye(d) + r.normal(size=(N, d, d)) * 0.08)
+        B = jnp.asarray(r.normal(size=(N, d, m)) * 0.6)
+        Cts = np.zeros((N, d + m, d + m))
+        for t in range(N):
+            Qx = r.normal(size=(d, d)) * 0.2
+            Cts[t, :d, :d] = Qx @ Qx.T + np.eye(d) * 0.3
+            Cts[t, d:, d:] = np.eye(m) * 0.05
+            Cux = r.normal(size=(m, d)) * 0.05
+            Cts[t, d:, :d] = Cux
+            Cts[t, :d, d:] = Cux.T
+        cts = jnp.asarray(r.normal(size=(N, d + m)) * 2.0)
+        u_nom = jnp.asarray(r.normal(size=(N, m)) * 0.1)
+        return A, B, jnp.asarray(Cts), cts, u_nom
+
+    for seed in (0, 8, 17, 26):  # the worst offenders of the frozen variant
+        A, B, Cts, cts, u_nom = make(seed)
+        K_s, k_s = ilqr_backward_box(
+            A, B, Cts, cts, u_nom, -0.25, 0.25, qp_iters=40, qp_method="enum"
+        )
+        K_p, k_p = ilqr_backward_box_parallel(
+            A, B, Cts, cts, u_nom, -0.25, 0.25, mask_iters=20
+        )
+        np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), atol=1e-8)
+
+
 def test_backward_box_parallel_overactuated(rng):
     """m > 4 must not crash the parallel backward (r4 review finding:
     the adjugate fast path checked only the state dim; inv_small on the
