@@ -62,6 +62,7 @@ def _isls_admm_impl(
     x0_var=None,
     chance_method: str = "chi",
     feasible_iterate: Optional[bool] = None,
+    anderson_m: int = 0,
 ) -> ISLSResult:
     """Run robust iSLS-ADMM from a nominal trajectory guess.
 
@@ -109,7 +110,8 @@ def _isls_admm_impl(
     Qr_l = block_diag_stacked(Qr) if (Qr is not None and project_x is not None) else None
     Rr_l = block_diag_stacked(Rr) if (Rr is not None and project_u is not None) else None
 
-    admm_cfg = ADMMConfig(max_iter=max_admm_iter, alpha=alpha, tol=tol, stall_tol=1e-3)
+    admm_cfg = ADMMConfig(max_iter=max_admm_iter, alpha=alpha, tol=tol, stall_tol=1e-3,
+                          anderson_m=anderson_m)
 
     def outer_body(carry):
         x_nom, u_nom, cost, it, status, z_x, z_u, _U_last, cost_log = carry
