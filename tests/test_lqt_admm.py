@@ -8,6 +8,7 @@ Oracles (SURVEY §4, BASELINE.md):
 - cost ordering: constrained cost ≥ unconstrained cost.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -372,6 +373,28 @@ def test_anderson_converges_from_bad_rho():
         A, B, cost, x0, project_u=proj_u, rho_u=1e-5,
         cfg=ADMMConfig(max_iter=500, tol=1e-6, stall_tol=1e-15))
     assert int(info_p.status) != SolveStatus.CONVERGED
+
+
+def test_anderson_vmaps_over_instances():
+    """The Anderson path must vmap like the plain driver (fleet solvers
+    and the batched arm bench vmap the whole solve): batched solves
+    equal per-instance solves."""
+    plant, A, B, cost = control_bounds_problem()
+    N = 100
+    proj_u = lambda u: project_bound(u, -5.0, 5.0)
+    cfg = ADMMConfig(max_iter=200, tol=1e-6, stall_tol=1e-15, anderson_m=5)
+
+    x0s = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.2, (6, plant.x_dim)))
+    solve = jax.vmap(
+        lambda x0: lqt_admm_batch(
+            A, B, cost, x0, project_u=proj_u, rho_u=1e-2, cfg=cfg)[1]
+    )
+    us_b = np.asarray(solve(x0s))
+    for i in range(x0s.shape[0]):
+        _, u_i, _ = lqt_admm_batch(
+            A, B, cost, x0s[i], project_u=proj_u, rho_u=1e-2, cfg=cfg)
+        np.testing.assert_allclose(us_b[i], np.asarray(u_i), atol=1e-8)
 
 
 def test_anderson_rejects_accel_and_adaptive():
