@@ -168,8 +168,8 @@ def _admm_solve_anderson(
         return jnp.logical_and(j < cfg.max_iter, status == SolveStatus.RUNNING)
 
     def body(state):
-        (j, v, ret, prim, dual, logs, mem_dv, mem_dg, prev_v, prev_g,
-         has_prev, best, status) = state
+        (j, v, ret, ret_score, prim, dual, logs, mem_dv, mem_dg, prev_v,
+         prev_g, has_prev, best, status) = state
         z_x, z_u, l_x, l_u = unpack(v)
         out, zx_n, zu_n, lx_n, lu_n, prim_new, dual_new = plain_step(
             z_x, z_u, l_x, l_u
@@ -215,26 +215,45 @@ def _admm_solve_anderson(
             SolveStatus.CONVERGED,
             jnp.where(stalled, SolveStatus.STALLED, SolveStatus.RUNNING),
         ).astype(jnp.int32)
-        ret_new = (out, zx_n, zu_n, lx_n, lu_n)
+        # the RETURNED iterate is the best plain evaluation seen (by
+        # combined residual), not the last: if extrapolation wanders on
+        # an inexact fixed-point map (e.g. nested inner-ADMM projections
+        # solved to loose tolerance), the caller still gets at least the
+        # best plain-ADMM iterate the run produced.
+        score_new = prim_new + dual_new
+        take = score_new < ret_score[0]
+        ret_new = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(take, new, old),
+            (out, zx_n, zu_n, lx_n, lu_n), ret,
+        )
+        ret_score_new = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(take, new, old),
+            (score_new, prim_new, dual_new), ret_score,
+        )
         return (
-            j + 1, v_next, ret_new, prim_new, dual_new, logs, mem_dv_new,
-            mem_dg_new, v, g, jnp.logical_not(restart), best_new, status_new,
+            j + 1, v_next, ret_new, ret_score_new, prim_new, dual_new, logs,
+            mem_dv_new, mem_dg_new, v, g, jnp.logical_not(restart), best_new,
+            status_new,
         )
 
     v0 = pack(z_x, z_u, lmb_x, lmb_u)
     ret0 = (zeros_out, z_x, z_u, lmb_x, lmb_u)
+    inf = jnp.asarray(jnp.inf, dtype)
     state0 = (
-        jnp.int32(0), v0, ret0, big, big, logs0,
+        jnp.int32(0), v0, ret0, (inf, big, big), big, big, logs0,
         jnp.zeros((m, D), dtype), jnp.zeros((m, D), dtype),
         jnp.zeros((D,), dtype), jnp.zeros((D,), dtype),
-        jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(False), inf,
         jnp.int32(SolveStatus.RUNNING),
     )
-    (j, _v, ret, prim, dual, logs, *_mem, status) = lax.while_loop(
+    (j, _v, ret, ret_score, _prim, _dual, logs, *_mem, status) = lax.while_loop(
         cond, body, state0
     )
     out, z_x, z_u, lmb_x, lmb_u = ret
     status = jnp.where(status == SolveStatus.RUNNING, SolveStatus.MAX_ITER, status)
+    # info reports the RETURNED (best-scoring plain) iterate's residuals;
+    # `logs` keeps the full per-iteration history either way
+    _score, prim, dual = ret_score
     info = ADMMInfo(iters=j, prim_res=prim, dual_res=dual, status=status, logs=logs)
     x_x, x_u = out[0], out[1]
     aux = out[2] if len(out) > 2 else None
