@@ -438,6 +438,9 @@ def main():
     for t in range(Na):
         rho_xa[t, n : 2 * n, n : 2 * n] = np.eye(n) * 1e-2
 
+    # anderson_m=5: Anderson-accelerated inner consensus tightens the
+    # fixed point within the same iteration budget (late-r4; CPU f64:
+    # 0.20006 vs 0.20036 plain at identical budgets)
     arm_admm = jax.jit(
         lambda xn, u: ilqr_admm(
             arm.step, arm.get_AB, aquad, xn, u, quad_cost=aquad,
@@ -445,10 +448,10 @@ def main():
             rho_x=jnp.asarray(rho_xa), rho_u=1e-3,
             max_iter=20, max_admm_iter=10,
             alphas=(10.0 ** jnp.linspace(0.0, -5.0, 50, dtype=f32))[:5],
-            tol=1e-4, method="dp", riccati="sqrt",
+            tol=1e-4, method="dp", riccati="sqrt", anderson_m=5,
         ).cost
     )
-    timed("ilqr_admm 3DoF arm state+control (sqrt Riccati, f32)", 639.0,
+    timed("ilqr_admm 3DoF arm state+control (sqrt Riccati, Anderson, f32)", 639.0,
           lambda: arm_admm(x_nom_a, u0a),
           oracle=lambda c: f"cost={float(c):.4f} (ref 0.1996)")
 

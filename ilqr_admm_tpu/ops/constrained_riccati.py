@@ -261,6 +261,11 @@ def ilqr_backward_box_parallel(
             jnp.where(~clamp, jnp.maximum(dlo - k, 0.0)
                       + jnp.maximum(k - dhi, 0.0), 0.0)
         )
+        # NaN -> +inf so a NaN pass (near-singular masked Quu under f32)
+        # can never win the best-pass comparison NOR poison it: with a
+        # NaN best, `viol < best` is always False and finite later
+        # passes could never displace it
+        viol = jnp.where(jnp.isnan(viol), jnp.inf, viol)
         return new_lo, new_hi, viol
 
     # seed from the warm-started set when given, else from the

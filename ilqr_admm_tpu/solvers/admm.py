@@ -90,7 +90,13 @@ def _make_plain_step(f_argmin, project_x, project_u, cfg, wx, wu, dtype):
 
     Returns (out, z_x_new, z_u_new, lmb_x_new, lmb_u_new, prim, dual) —
     the building block the Anderson-accelerated driver wraps as the
-    fixed-point map T(v)."""
+    fixed-point map T(v).
+
+    KEEP IN SYNC with the plain branch of `admm_solve`'s body: the same
+    relaxation/projection/dual/residual sequence lives there interleaved
+    with the accel/adaptive carry slots (a shared helper would have to
+    thread all of that through; the certificates require the two copies
+    to define identical iterations)."""
     has_x = project_x is not None
     has_u = project_u is not None
 
@@ -124,7 +130,7 @@ def _make_plain_step(f_argmin, project_x, project_u, cfg, wx, wu, dtype):
 
 def _admm_solve_anderson(
     plain_step, shape_x, shape_u, cfg, z_x, z_u, lmb_x, lmb_u, zeros_out,
-    dtype,
+    dtype, has_x=True, has_u=True,
 ):
     """Safeguarded type-II Anderson acceleration of the ADMM map.
 
@@ -141,23 +147,34 @@ def _admm_solve_anderson(
     """
     import numpy as _np
 
-    sx = int(_np.prod(shape_x))
-    su = int(_np.prod(shape_u))
+    # the fixed-point vector carries only ENABLED constraint blocks: a
+    # disabled block's (z, λ) never changes, and packing it would
+    # multiply the secant-memory/gram work by dead zeros (3x for the
+    # common control-bounds-only case with d=2m)
+    sx = int(_np.prod(shape_x)) if has_x else 0
+    su = int(_np.prod(shape_u)) if has_u else 0
     D = 2 * (sx + su)
     m = cfg.anderson_m
+    z_x_const, z_u_const, l_x_const, l_u_const = z_x, z_u, lmb_x, lmb_u
 
     def pack(zx, zu, lx, lu):
-        return jnp.concatenate(
-            [zx.reshape(-1), zu.reshape(-1), lx.reshape(-1), lu.reshape(-1)]
-        )
+        parts = []
+        if has_x:
+            parts.append(zx.reshape(-1))
+        if has_u:
+            parts.append(zu.reshape(-1))
+        if has_x:
+            parts.append(lx.reshape(-1))
+        if has_u:
+            parts.append(lu.reshape(-1))
+        return jnp.concatenate(parts)
 
     def unpack(v):
-        return (
-            v[:sx].reshape(shape_x),
-            v[sx : sx + su].reshape(shape_u),
-            v[sx + su : 2 * sx + su].reshape(shape_x),
-            v[2 * sx + su :].reshape(shape_u),
-        )
+        zx = v[:sx].reshape(shape_x) if has_x else z_x_const
+        zu = v[sx : sx + su].reshape(shape_u) if has_u else z_u_const
+        lx = v[sx + su : 2 * sx + su].reshape(shape_x) if has_x else l_x_const
+        lu = v[2 * sx + su :].reshape(shape_u) if has_u else l_u_const
+        return zx, zu, lx, lu
 
     big = jnp.asarray(1e6, dtype)
     logs0 = jnp.zeros((cfg.max_iter, 2), dtype)
@@ -220,8 +237,12 @@ def _admm_solve_anderson(
         # an inexact fixed-point map (e.g. nested inner-ADMM projections
         # solved to loose tolerance), the caller still gets at least the
         # best plain-ADMM iterate the run produced.
+        # On convergence the loop exits THIS iteration, and status must
+        # describe the returned iterate — force-take the converging one
+        # (it satisfies both tolerances by definition) even if an earlier
+        # iterate had a marginally lower combined score.
         score_new = prim_new + dual_new
-        take = score_new < ret_score[0]
+        take = jnp.logical_or(score_new < ret_score[0], converged)
         ret_new = jax.tree_util.tree_map(
             lambda new, old: jnp.where(take, new, old),
             (out, zx_n, zu_n, lx_n, lu_n), ret,
@@ -361,7 +382,7 @@ def admm_solve(
         )
         return _admm_solve_anderson(
             plain_step, shape_x, shape_u, cfg, z_x, z_u, lmb_x, lmb_u,
-            zeros_out, dtype,
+            zeros_out, dtype, has_x=has_x, has_u=has_u,
         )
 
     big = jnp.asarray(1e6, dtype)

@@ -33,10 +33,14 @@ import platform  # noqa: E402
 
 
 def _cpu_fingerprint() -> str:
+    # x86 spells the ISA-feature line "flags", ARM spells it "Features" —
+    # a bare platform.machine() fallback would let e.g. two aarch64 hosts
+    # with different feature sets share host-AOT entries, which is the
+    # exact hazard this fingerprint exists to prevent
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                if line.startswith(("flags", "Features")):
                     return hashlib.sha1(line.encode()).hexdigest()[:12]
     except OSError:
         pass
@@ -78,9 +82,10 @@ def _no_compile_cache_for_collective_tests(request):
     mod = getattr(request, "module", None)
     name = getattr(mod, "__name__", "")
     if name in _COLLECTIVE_TEST_MODULES:
+        prev = jax.config.jax_enable_compilation_cache
         jax.config.update("jax_enable_compilation_cache", False)
         yield
-        jax.config.update("jax_enable_compilation_cache", True)
+        jax.config.update("jax_enable_compilation_cache", prev)
     else:
         yield
 
