@@ -148,6 +148,28 @@ def test_robust_isls_admm_beats_nonrobust():
     assert abs(float(res1.x_nom[-1, 2 * n + 1]) - 2.0) < 0.2
 
 
+def test_isls_admm_anderson_smoke():
+    """anderson_m plumbs into isls_admm's inner consensus without
+    changing results materially (the robust z-update is an inexact
+    nested projection, the regime where Anderson is expected to be a
+    no-op thanks to the best-plain-iterate guarantee — see RESULTS.md
+    r4 scoping); the solve must stay finite and near the plain run."""
+    arm, quad, x_nom0, u0 = _setup()
+    n = arm.q_dim
+    kw = dict(robust_dim=n, quad_cost=quad, rho_u=1e0,
+              joint_alpha=0.958, u_bounds=(-UPPER_U, UPPER_U),
+              x0_var=VAR_Q0, k_max=4, max_admm_iter=6,
+              alphas=10.0 ** jnp.linspace(0.0, -5.0, 50)[:10],
+              outer_tol=1e-6)
+    res_p = isls_admm(arm.step, arm.get_AB, quad, x_nom0, u0, **kw)
+    res_a = isls_admm(arm.step, arm.get_AB, quad, x_nom0, u0,
+                      anderson_m=4, **kw)
+    assert np.isfinite(np.asarray(res_a.du)).all()
+    assert np.isfinite(np.asarray(res_a.phi_u)).all()
+    np.testing.assert_allclose(
+        np.asarray(res_a.x_nom), np.asarray(res_p.x_nom), atol=5e-2)
+
+
 @pytest.mark.slow
 def test_robust_isls_joint_calibrated():
     """One-call joint chance calibration (VERDICT r2 #5): requesting
