@@ -816,6 +816,7 @@ class iSLS(_Base):
         rho_u=None, alpha=1.0, tol=1e-3, verbose=False, log=False,
         k_max=None, threshold=None, max_line_search=None,
         method="batch", riccati="chol", line_search="inner",
+        anderson_m=0,
     ):
         """Constrained iLQR-ADMM (reference `isls.py:379-501`).
 
@@ -845,6 +846,7 @@ class iSLS(_Base):
             rho_x=rho_x, rho_u=rho_u, max_iter=max_iter,
             max_admm_iter=max_admm_iter, alphas=alphas, alpha=alpha, tol=tol,
             method=method, riccati=riccati, line_search=line_search,
+            anderson_m=anderson_m,
         )
         self.x_nom, self.u_nom = res.x_nom, res.u_nom
         # store the linearization at the solution (see solve())
@@ -864,7 +866,7 @@ class iSLS(_Base):
     def isls_admm(
         self, dim, get_AB, get_Cs=None, project_x=None, project_u=None,
         max_admm_iter=20, k_max=20, max_line_search=20, rho_x=None, rho_u=None,
-        alpha=1.0, threshold=1e-3, verbose=False, log=False,
+        alpha=1.0, threshold=1e-3, verbose=False, log=False, anderson_m=0,
     ):
         """Robust iSLS-ADMM (reference `isls.py:503-712`).
 
@@ -879,7 +881,7 @@ class iSLS(_Base):
             get_Cs=get_Cs, quad_cost=quad,
             project_x=project_x or None, project_u=project_u or None,
             rho_x=rho_x, rho_u=rho_u, k_max=k_max, max_admm_iter=max_admm_iter,
-            alphas=alphas, alpha=alpha, tol=threshold,
+            alphas=alphas, alpha=alpha, tol=threshold, anderson_m=anderson_m,
         )
         self.x_nom, self.u_nom = res.x_nom, res.u_nom
         self._cost = float(res.cost)
