@@ -375,6 +375,40 @@ def test_anderson_converges_from_bad_rho():
     assert int(info_p.status) != SolveStatus.CONVERGED
 
 
+def test_anderson_agrees_across_saturation_regimes():
+    """Anderson and plain ADMM reach the same fixed point across bound
+    regimes — inactive (projection is the identity at the optimum),
+    moderately active, and heavily saturated — over random targets.
+    Guards the extrapolation against regime-dependent corner cases
+    (e.g. zero residual from iteration 1 when nothing binds)."""
+    plant, A, B, _ = control_bounds_problem()
+    N = 100
+    d, m = plant.x_dim, plant.u_dim
+    rng_ = np.random.default_rng(42)
+    for bound in (1e3, 5.0, 1.5):  # inactive / moderate / heavy
+        for trial in range(2):
+            target = jnp.asarray(rng_.normal(0, 1.0, d))
+            zs = jnp.stack([jnp.zeros(d), target])
+            Qs = jnp.stack([jnp.zeros((d, d)), jnp.eye(d) * 1e3])
+            seq = np.zeros(N, dtype=np.int32)
+            seq[-1] = 1
+            cost_t = viapoint_cost(zs, Qs, seq, 1e-2, m)
+            proj = lambda u, b=bound: project_bound(u, -b, b)
+            x0 = jnp.asarray(rng_.normal(0, 0.2, d))
+            _, up, ip = lqt_admm_batch(
+                A, B, cost_t, x0, project_u=proj, rho_u=1e-2,
+                cfg=ADMMConfig(max_iter=2000, tol=1e-8, stall_tol=1e-15))
+            _, ua, ia = lqt_admm_batch(
+                A, B, cost_t, x0, project_u=proj, rho_u=1e-2,
+                cfg=ADMMConfig(max_iter=2000, tol=1e-8, stall_tol=1e-15,
+                               anderson_m=5))
+            assert int(ia.status) == SolveStatus.CONVERGED, (bound, trial)
+            assert int(ia.iters) <= int(ip.iters), (bound, trial)
+            np.testing.assert_allclose(
+                np.asarray(ua), np.asarray(up), atol=1e-6,
+                err_msg=f"bound={bound} trial={trial}")
+
+
 def test_anderson_returns_best_plain_iterate():
     """With an INEXACT projection (deliberate deterministic wobble — the
     stand-in for nested inner-ADMM z-updates solved to loose tolerance),
