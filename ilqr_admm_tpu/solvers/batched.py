@@ -39,6 +39,40 @@ _PREC = jax.lax.Precision.HIGHEST
 
 def _mm(a, b):
     return jnp.matmul(a, b, precision=_PREC)
+
+
+def _chol_solve_small(M, b):
+    """Unrolled batched Cholesky solve for tiny SPD systems.
+
+    M: (..., n, n) SPD (n static, small — the Anderson gram), b: (..., n).
+    Every operation is an elementwise broadcast over the leading batch
+    axes — `jnp.linalg.solve`'s batched LU lowers catastrophically on
+    TPU for thousands of tiny systems (measured: it alone made the
+    Anderson fleet path 80x slower than plain ADMM)."""
+    n = M.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            acc = M[..., i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(acc, 1e-30))
+            else:
+                L[i][j] = acc / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        acc = b[..., i]
+        for k in range(i):
+            acc = acc - L[i][k] * y[k]
+        y[i] = acc / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = y[i]
+        for k in range(i + 1, n):
+            acc = acc - L[k][i] * x[k]
+        x[i] = acc / L[i][i]
+    return jnp.stack(x, axis=-1)
 from ilqr_admm_tpu.problem import QuadCost
 from ilqr_admm_tpu.solvers.lqt import block_diag_stacked, broadcast_rho
 from ilqr_admm_tpu.solvers.admm import validate_constraint_blocks
@@ -55,6 +89,7 @@ def make_batched_lqt_admm(
     n_iters: int = 100,
     alpha: float = 1.0,
     tol: float = 0.0,
+    anderson_m: int = 0,
 ):
     """Build a jitted batched constrained-LQT ADMM solver.
 
@@ -66,8 +101,32 @@ def make_batched_lqt_admm(
     freeze while the while_loop continues until every instance converges
     or the cap is hit — the SPMD analogue of per-instance residual
     stopping (reference `admm.py:72-85`).
+
+    anderson_m > 0 (requires tol > 0) runs PER-INSTANCE safeguarded
+    type-II Anderson acceleration on top of the early stopping: every
+    instance carries its own secant memory over the batch axis (the
+    (B, m, m) grams and extrapolations are batched contractions; the
+    tiny per-instance gram solves are an unrolled batch-vectorized
+    Cholesky — `jnp.linalg.solve`'s batched LU is catastrophic on TPU),
+    restarts on residual increase independently, and each instance
+    returns its best-scoring plain evaluation (same certificate
+    discipline as `admm_solve`). SCOPE (measured, RESULTS.md r4): pays
+    off when plain ADMM's iteration count is large — tight-tolerance
+    f64 fleets (8x wall-clock at tol 1e-7, identical solutions) — and
+    does NOT pay on TPU f32 at serving tolerances, where plain
+    early-stop already converges in ~25 iterations and the secant
+    differences of near-converged instances drown in the TPU matmul
+    noise floor (the fleet then rides the iteration cap; the
+    best-iterate guarantee bounds, but does not repair, those
+    instances). Prefer plain early-stop for f32 TPU serving fleets.
     """
     validate_constraint_blocks(project_x, rho_x, project_u, rho_u)
+    if anderson_m > 0 and tol <= 0.0:
+        raise ValueError(
+            "anderson_m > 0 requires tol > 0: the fixed-count scan mode "
+            "returns the last iterate, which Anderson cannot certify — "
+            "use the per-instance early-stopping mode"
+        )
     N, d = A.shape[0], A.shape[-1]
     m = B.shape[-1]
     dtype = A.dtype
@@ -163,21 +222,142 @@ def make_batched_lqt_admm(
             it, done, *_ = state
             return jnp.logical_and(it < n_iters, jnp.logical_not(jnp.all(done)))
 
-        def wbody(state):
-            it, done, z_x, z_u, l_x, l_u, x, u = state
-            nz_x, nz_u, nl_x, nl_u, nx, nu, prim, dual = iteration(z_x, z_u, l_x, l_u)
-            keep = done[:, None]
-            z_x = jnp.where(keep, z_x, nz_x)
-            z_u = jnp.where(keep, z_u, nz_u)
-            l_x = jnp.where(keep, l_x, nl_x)
-            l_u = jnp.where(keep, l_u, nl_u)
-            x = jnp.where(keep, x, nx)
-            u = jnp.where(keep, u, nu)
-            done = jnp.logical_or(done, jnp.logical_and(prim < tol, dual < tol))
-            return (it + 1, done, z_x, z_u, l_x, l_u, x, u)
+        if anderson_m <= 0:
+            def wbody(state):
+                it, done, z_x, z_u, l_x, l_u, x, u = state
+                nz_x, nz_u, nl_x, nl_u, nx, nu, prim, dual = iteration(z_x, z_u, l_x, l_u)
+                keep = done[:, None]
+                z_x = jnp.where(keep, z_x, nz_x)
+                z_u = jnp.where(keep, z_u, nz_u)
+                l_x = jnp.where(keep, l_x, nl_x)
+                l_u = jnp.where(keep, l_u, nl_u)
+                x = jnp.where(keep, x, nx)
+                u = jnp.where(keep, u, nu)
+                done = jnp.logical_or(done, jnp.logical_and(prim < tol, dual < tol))
+                return (it + 1, done, z_x, z_u, l_x, l_u, x, u)
 
-        state = (jnp.int32(0), done0) + init
-        _, done, z_x, z_u, l_x, l_u, x, u = lax.while_loop(cond, wbody, state)
+            state = (jnp.int32(0), done0) + init
+            _, done, z_x, z_u, l_x, l_u, x, u = lax.while_loop(cond, wbody, state)
+            return x, u
+
+        # ---- per-instance Anderson (batched mirror of
+        # solvers/admm.py::_admm_solve_anderson; pack only enabled blocks)
+        Bn = x0s.shape[0]
+        m_aa = anderson_m
+        SAFE = 10.0  # restart threshold vs best-since-restart
+        REG = 1e-10  # relative Tikhonov reg of the per-instance gram
+
+        def pack(zx, zu, lx, lu):
+            parts = []
+            if has_x:
+                parts += [zx, lx]
+            if has_u:
+                parts += [zu, lu]
+            return jnp.concatenate(parts, axis=-1)
+
+        sxd = N * d if has_x else 0
+        sud = N * m if has_u else 0
+        D = 2 * (sxd + sud)
+
+        def unpack(v):
+            zx = v[:, :sxd] if has_x else z_x
+            lx = v[:, sxd : 2 * sxd] if has_x else l_x
+            zu = v[:, 2 * sxd : 2 * sxd + sud] if has_u else z_u
+            lu = v[:, 2 * sxd + sud :] if has_u else l_u
+            return zx, zu, lx, lu
+
+        eye_aa = jnp.eye(m_aa, dtype=dtype)
+
+        def abody(state):
+            (it, done, v_in, x, u, mem_dv, mem_dg,
+             prev_v, prev_g, has_prev, best, ret_score) = state
+            cz_x, cz_u, cl_x, cl_u = unpack(v_in)
+            nz_x, nz_u, nl_x, nl_u, nx, nu, prim, dual = iteration(
+                cz_x, cz_u, cl_x, cl_u
+            )
+            v_plain = pack(nz_x, nz_u, nl_x, nl_u)
+            g = v_plain - v_in
+            gnorm = jnp.linalg.norm(g, axis=-1)
+
+            restart = jnp.logical_and(has_prev, gnorm > SAFE * best)
+            push = jnp.logical_and(has_prev, jnp.logical_not(restart))
+            mem_dv_p = jnp.roll(mem_dv, -1, axis=1).at[:, -1].set(v_in - prev_v)
+            mem_dg_p = jnp.roll(mem_dg, -1, axis=1).at[:, -1].set(g - prev_g)
+            sel = push[:, None, None]
+            rst = restart[:, None, None]
+            mem_dv_new = jnp.where(sel, mem_dv_p, jnp.where(rst, 0.0, mem_dv))
+            mem_dg_new = jnp.where(sel, mem_dg_p, jnp.where(rst, 0.0, mem_dg))
+
+            # the secant gram/extrapolation contractions MUST run at
+            # HIGHEST precision: at the TPU default (single-pass bf16,
+            # eps ~ 8e-3) the gram of near-converged secant differences
+            # is pure noise -> garbage weights -> endless restarts
+            # (measured: the fleet sat at the iteration cap; CPU f32,
+            # true-FMA einsums, converged the same config fine)
+            gram = jnp.einsum("bmd,bnd->bmn", mem_dg_new, mem_dg_new,
+                              precision=_PREC)
+            tr = jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None]
+            rhs = jnp.einsum("bmd,bd->bm", mem_dg_new, g, precision=_PREC)
+            gam = _chol_solve_small(gram + (REG * tr + 1e-30) * eye_aa, rhs)
+            v_aa = v_in + g - jnp.einsum(
+                "bmd,bm->bd", mem_dv_new + mem_dg_new, gam, precision=_PREC
+            )
+            # near the dtype's residual floor the secant pairs are noise
+            # and extrapolation chatters an instance around the tolerance
+            # forever (measured on TPU f32: a few such instances kept the
+            # whole fleet's while_loop at the iteration cap) — finish
+            # with plain steps below a machine-precision-scaled floor
+            # (~1e-4·||v|| in f32, ~2e-13·||v|| in f64: irrelevant for
+            # tight-tolerance f64 runs, which is where Anderson pays)
+            eps = jnp.finfo(dtype).eps
+            noise_floor = 1e3 * eps * (1.0 + jnp.linalg.norm(v_plain, axis=-1))
+            use_aa = gnorm > noise_floor
+            v_next = jnp.where(
+                jnp.logical_and(use_aa, jnp.logical_not(restart))[:, None],
+                v_aa, v_plain,
+            )
+
+            best = jnp.where(restart, jnp.inf, jnp.minimum(best, gnorm))
+            conv = jnp.logical_and(prim < tol, dual < tol)
+            # returned iterate per instance = its BEST-scoring plain
+            # evaluation (same guarantee as admm_solve's anderson path:
+            # extrapolation wander on hard instances must not degrade
+            # what the caller gets below the best plain pass seen); a
+            # converging evaluation is always taken so the frozen iterate
+            # satisfies the declared tolerance
+            score = prim + dual
+            take = jnp.logical_and(
+                jnp.logical_not(done),
+                jnp.logical_or(score < ret_score, conv),
+            )
+            tk = take[:, None]
+            keep = done[:, None]
+            keep3 = keep[:, :, None]
+            return (
+                it + 1,
+                jnp.logical_or(done, conv),
+                jnp.where(keep, v_in, v_next),
+                jnp.where(tk, nx, x),
+                jnp.where(tk, nu, u),
+                jnp.where(keep3, mem_dv, mem_dv_new),
+                jnp.where(keep3, mem_dg, mem_dg_new),
+                jnp.where(keep, prev_v, v_in),
+                jnp.where(keep, prev_g, g),
+                jnp.where(done, has_prev, jnp.logical_not(restart)),
+                best,
+                jnp.where(take, score, ret_score),
+            )
+
+        v0 = pack(z_x, z_u, l_x, l_u)
+        astate = (
+            jnp.int32(0), done0, v0, z_x, z_u,
+            jnp.zeros((Bn, m_aa, D), dtype), jnp.zeros((Bn, m_aa, D), dtype),
+            jnp.zeros((Bn, D), dtype), jnp.zeros((Bn, D), dtype),
+            jnp.zeros(Bn, bool), jnp.full((Bn,), jnp.inf, dtype),
+            jnp.full((Bn,), jnp.inf, dtype),
+        )
+        out = lax.while_loop(cond, abody, astate)
+        x, u = out[3], out[4]
         return x, u
 
     return jax.jit(solve)
