@@ -186,7 +186,7 @@ def _admm_solve_anderson(
 
     def body(state):
         (j, v, ret, ret_score, prim, dual, logs, mem_dv, mem_dg, prev_v,
-         prev_g, has_prev, best, status) = state
+         prev_g, has_prev, best, flat_prev, status) = state
         z_x, z_u, l_x, l_u = unpack(v)
         out, zx_n, zu_n, lx_n, lu_n, prim_new, dual_new = plain_step(
             z_x, z_u, l_x, l_u
@@ -212,7 +212,15 @@ def _admm_solve_anderson(
         reg = cfg.anderson_reg * jnp.trace(gram) + jnp.asarray(1e-30, dtype)
         gam = jnp.linalg.solve(gram + reg * eye_m, mem_dg_new @ g)
         v_aa = v + g - (mem_dv_new + mem_dg_new).T @ gam
-        v_next = jnp.where(restart, v_plain, v_aa)
+        # near the dtype's residual floor the secant pairs are noise and
+        # extrapolation chatters around the tolerance instead of
+        # finishing (same fallback as the batched mirror,
+        # batched.py::abody) — take plain steps below a
+        # machine-precision-scaled floor
+        eps = jnp.finfo(dtype).eps
+        noise_floor = 1e3 * eps * (1.0 + _norm(v_plain))
+        use_aa = jnp.logical_and(gnorm > noise_floor, jnp.logical_not(restart))
+        v_next = jnp.where(use_aa, v_aa, v_plain)
 
         best_new = jnp.where(
             restart, jnp.asarray(jnp.inf, dtype), jnp.minimum(best, gnorm)
@@ -221,12 +229,17 @@ def _admm_solve_anderson(
         converged = jnp.logical_and(prim_new < cfg.tol, dual_new < cfg.tol)
         prim_change = jnp.abs(prim - prim_new) / (prim + _EPS)
         dual_change = jnp.abs(dual - dual_new) / (dual + _EPS)
-        stalled = jnp.logical_and(
+        flat = jnp.logical_and(
             prim_change < cfg.stall, dual_change < cfg.stall
         )
         # a restart re-enters the plain map — residuals can repeat across
         # the revert without being a genuine stall
-        stalled = jnp.logical_and(stalled, jnp.logical_not(restart))
+        flat = jnp.logical_and(flat, jnp.logical_not(restart))
+        # Anderson's residual sequence is non-monotone: one flat pair of
+        # plain residuals mid-extrapolation is routine, so STALLED needs
+        # two CONSECUTIVE flat iterations (the plain-ADMM relative-change
+        # test assumes monotone decay, which only holds for anderson_m=0)
+        stalled = jnp.logical_and(flat, flat_prev)
         status_new = jnp.where(
             converged,
             SolveStatus.CONVERGED,
@@ -254,7 +267,7 @@ def _admm_solve_anderson(
         return (
             j + 1, v_next, ret_new, ret_score_new, prim_new, dual_new, logs,
             mem_dv_new, mem_dg_new, v, g, jnp.logical_not(restart), best_new,
-            status_new,
+            flat, status_new,
         )
 
     v0 = pack(z_x, z_u, lmb_x, lmb_u)
@@ -264,7 +277,7 @@ def _admm_solve_anderson(
         jnp.int32(0), v0, ret0, (inf, big, big), big, big, logs0,
         jnp.zeros((m, D), dtype), jnp.zeros((m, D), dtype),
         jnp.zeros((D,), dtype), jnp.zeros((D,), dtype),
-        jnp.asarray(False), inf,
+        jnp.asarray(False), inf, jnp.asarray(False),
         jnp.int32(SolveStatus.RUNNING),
     )
     (j, _v, ret, ret_score, _prim, _dual, logs, *_mem, status) = lax.while_loop(

@@ -90,6 +90,8 @@ def make_batched_lqt_admm(
     alpha: float = 1.0,
     tol: float = 0.0,
     anderson_m: int = 0,
+    anderson_safeguard: float = 10.0,
+    anderson_reg: float = 1e-10,
 ):
     """Build a jitted batched constrained-LQT ADMM solver.
 
@@ -244,8 +246,12 @@ def make_batched_lqt_admm(
         # solvers/admm.py::_admm_solve_anderson; pack only enabled blocks)
         Bn = x0s.shape[0]
         m_aa = anderson_m
-        SAFE = 10.0  # restart threshold vs best-since-restart
-        REG = 1e-10  # relative Tikhonov reg of the per-instance gram
+        # same defaults/semantics as ADMMConfig.anderson_safeguard /
+        # anderson_reg — keep the two 'KEEP IN SYNC' drivers tunable
+        # identically (a user moving between admm_solve and this mirror
+        # must get the same behavior from the same knobs)
+        SAFE = float(anderson_safeguard)  # restart vs best-since-restart
+        REG = float(anderson_reg)  # relative Tikhonov reg of the gram
 
         def pack(zx, zu, lx, lu):
             parts = []
