@@ -16,9 +16,13 @@ import jax.numpy as jnp
 
 from ilqr_admm_tpu import iSLS
 from ilqr_admm_tpu.models.arm import PlanarArm
+from ilqr_admm_tpu.utils.precision import use_x64
 
 
 def main():
+    # the notebook's x_std=1e6 / u_std=1e-4 weight ratio (1e10) is past
+    # any f32 formulation's conditioning budget (see utils/precision.py)
+    use_x64()
     N = 100
     arm = PlanarArm((1.0, 1.0, 1.0), dt=1.0 / N)
     d, m, n = arm.x_dim, arm.u_dim, arm.q_dim
