@@ -194,3 +194,43 @@ def test_pallas_early_exit_with_delta_mode():
     r_f = np.asarray(jnp.linalg.norm(u_f - zu_f, axis=-1))
     # exited tiles are at least as converged as the fixed schedule
     assert r_e.max() <= r_f.max() + 5e-4, (r_e.max(), r_f.max())
+
+
+def test_pallas_fleet_shard_map_matches_single_device():
+    """shard_map over ('data',) wrapping the fused Pallas kernel — the
+    flagship serving path on a real pod (VERDICT r4 #2) — must equal a
+    single-device replay exactly: pure instance parallelism, so the
+    kernel's per-tile math cannot depend on which device owns the tile.
+    Mirrors the `dryrun_multichip` section in `__graft_entry__.py`."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    N = 40
+    plant, A, B, cost = _problem(N)
+    solve_p = make_pallas_lqt_admm(
+        A, B, cost, u_lower=-5.0, u_upper=5.0, rho_u=1e-1,
+        n_iters=40, batch_tile=4, interpret=True,
+    )
+    n_dev = jax.device_count()
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    sharded = jax.jit(jax.shard_map(
+        solve_p, mesh=mesh, in_specs=(P("data"),),
+        out_specs=(P("data"),) * 4, check_vma=False,
+    ))
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(
+        rng.normal(0, 0.1, size=(4 * n_dev, plant.x_dim)), jnp.float32
+    )
+    # cache-loaded multi-device programs can hard-abort on this
+    # jaxlib's XLA:CPU runtime (see conftest) — compile fresh
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        x_s, u_s, _, zu_s = sharded(x0s)
+        x_r, u_r, _, zu_r = solve_p(x0s)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+    np.testing.assert_array_equal(np.asarray(u_s), np.asarray(u_r))
+    np.testing.assert_array_equal(np.asarray(x_s), np.asarray(x_r))
+    np.testing.assert_array_equal(np.asarray(zu_s), np.asarray(zu_r))
+    assert float(jnp.max(jnp.abs(zu_s))) <= 5.0 + 1e-5
