@@ -91,8 +91,15 @@ def rounded_rectangle(center, width, height, angle=0.0, radius=0.1, **kwargs):
 
 def plot_car(x, u, width=0.9, length=2.1, bodycolor=(0.7, 0.7, 0.7), wheelcolor="k",
              ax=None):
-    """Car body + 4 wheels as patches for state x=[px, py, theta, v] and
-    control u=[steer, .] (reference `plot_utils.py:199-235`).
+    """Car as patches for state x=[px, py, theta, v], control u=[steer, .].
+
+    Reference-fidelity rendering (`plot_utils.py:199-235` semantics):
+    rounded-rectangle body, 4 rounded wheels (front pair steered by
+    u[0]), white windshield polygon, two yellow headlights at the front
+    bumper, and a black origin cross at (px, py). As in the reference,
+    `width`/`length` are HALF-dimensions (the body is 2*length long) and
+    (px, py) is the REAR AXLE: rear wheels at the origin of the car
+    frame, front axle at x = +2.0, forward along +x before rotation.
 
     Returns a list of patches (add them to an axis; re-create per frame
     for animation). Pass `ax` to bind the patch transforms to a specific
@@ -105,36 +112,52 @@ def plot_car(x, u, width=0.9, length=2.1, bodycolor=(0.7, 0.7, 0.7), wheelcolor=
     px, py, th = float(x[0]), float(x[1]), float(x[2])
     steer = float(np.asarray(u)[0]) if np.size(u) else 0.0
 
-    def rot(a):
-        return np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+    pose = Affine2D().rotate(th).translate(px, py) + ax.transData
 
-    R = rot(th)
-    patches = []
-    body = mpatches.Rectangle(
-        (-length / 2, -width / 2), length, width, fc=bodycolor, ec="k", lw=1.5
-    )
-    body.set_transform(
-        Affine2D().rotate(th).translate(px, py) + ax.transData
-    )
-    patches.append(body)
-
-    wheel_l, wheel_w = 0.45, 0.15
-    offsets = np.array(
-        [
-            [length * 0.32, width * 0.55],
-            [length * 0.32, -width * 0.55],
-            [-length * 0.32, width * 0.55],
-            [-length * 0.32, -width * 0.55],
-        ]
-    )
-    for i, off in enumerate(offsets):
-        ang = th + (steer if i < 2 else 0.0)  # front wheels steer
-        c = np.array([px, py]) + R @ off
-        w = mpatches.Rectangle(
-            (-wheel_l / 2, -wheel_w / 2), wheel_l, wheel_w, fc=wheelcolor, ec="k"
+    def rbox(cx, cy, half_l, half_w, radius, angle=0.0, **kw):
+        """Rounded box centered at (cx, cy) in the car frame."""
+        p = mpatches.FancyBboxPatch(
+            (-half_l + radius, -half_w + radius),
+            2 * (half_l - radius), 2 * (half_w - radius),
+            boxstyle=mpatches.BoxStyle("Round", pad=radius), **kw,
         )
-        w.set_transform(Affine2D().rotate(ang).translate(*c) + ax.transData)
-        patches.append(w)
+        p.set_transform(Affine2D().rotate(angle).translate(cx, cy) + pose)
+        return p
+
+    patches = []
+    # 4 wheels: 0.8 x 0.3, rounding 0.06; rear axle at x=0, front at 2.0,
+    # lateral offset ±1.1*width (reference wheel = [.15 .4 .06 1.1w -1.1 .9])
+    for wx, ang in ((0.0, 0.0), (2.0, steer)):
+        for wy in (-1.1 * width, 1.1 * width):
+            patches.append(
+                rbox(wx, wy, 0.4, 0.15, 0.06, angle=ang, fc=wheelcolor, ec="k")
+            )
+    # body: center one wheelbase-half ahead of the rear axle, rounding 0.3
+    patches.append(
+        rbox(1.1, 0.0, length, width, 0.3, fc=bodycolor, ec="k", lw=1.5)
+    )
+    # windshield (reference hard-coded polygon, rotated to the +x frame)
+    win = mpatches.Polygon(
+        np.array([[2.0, 0.8], [2.0, -0.8], [1.4, -0.7], [1.4, 0.7]]),
+        color="w",
+    )
+    win.set_transform(pose)
+    patches.append(win)
+    # headlights: 0.5 x 0.2 rounded, flush with the front bumper, yellow
+    for hy in (-width / 2, width / 2):
+        patches.append(
+            rbox(1.1 + length - 0.1, hy, 0.1, 0.25, 0.1,
+                 fc=(1.0, 1.0, 0.0), ec="none")
+        )
+    # origin cross at the rear axle (reference "make origin")
+    ol, ow = 0.1, 0.01
+    for pts in (
+        np.array([[-ol, ow], [ol, ow], [ol, -ow], [-ol, -ow]]),
+        np.array([[ow, -ol], [ow, ol], [-ow, ol], [-ow, -ol]]),
+    ):
+        cross = mpatches.Polygon(pts, color="k")
+        cross.set_transform(pose)
+        patches.append(cross)
     return patches
 
 

@@ -34,9 +34,18 @@ def test_plot_car_patch_count_and_axis_binding():
     xs, us = _car_traj()
     fig, ax = plt.subplots()
     patches = plot_car(xs[0], us[0], ax=ax)
-    assert len(patches) == 5  # body + 4 wheels
+    # reference-fidelity car (plot_utils.py:199-235): 4 wheels + body +
+    # window + 2 headlights + 2 origin-cross bars
+    assert len(patches) == 10
     for p in patches:
         ax.add_patch(p)
+    # the window is white and the two headlights are yellow
+    import matplotlib.colors as mcolors
+
+    face_colors = [mcolors.to_rgb(p.get_facecolor()[:3]) if not isinstance(
+        p.get_facecolor(), tuple) else p.get_facecolor()[:3] for p in patches]
+    assert face_colors.count((1.0, 1.0, 1.0)) >= 1  # window
+    assert face_colors.count((1.0, 1.0, 0.0)) == 2  # headlights
     plt.close(fig)
 
 
