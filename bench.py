@@ -188,8 +188,13 @@ def main():
     # defensible one). The readback channel is already warm — the
     # certificate section above pulled arrays to host. Best-of windows
     # guards against tunnel/device contention spikes.
+    # VERDICT r4 #5 (number hygiene): the reported value is the MEDIAN
+    # over the windows, with the IQR carried alongside — single-run
+    # best-of deltas (818 vs 824 vs 832M across rounds) are run-to-run
+    # drift, not progress; deltas within the IQR band are "flat".
+    # BENCH_REPS=12 is the drift-study setting (RESULTS.md).
     K = 100
-    reps = 3
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -197,9 +202,10 @@ def main():
             u_last = solve(x0s)[1]
         _ = float(u_last[0, 0])
         times.append((time.perf_counter() - t0) / K)
-    dt = min(times)
-
-    iters_per_s = BATCH * ADMM_ITERS / dt
+    rates = np.sort(BATCH * ADMM_ITERS / np.asarray(times))
+    iters_per_s = float(np.median(rates))
+    q1, q3 = np.percentile(rates, [25, 75])
+    dt = 1.0 / (iters_per_s / (BATCH * ADMM_ITERS))
 
     # --- MFU / FLOP accounting (VERDICT r2 #4) --------------------------
     # Useful math per ADMM iteration per instance: the (N*m)x(N*m)
@@ -235,6 +241,13 @@ def main():
                 "value": round(iters_per_s, 1),
                 "unit": "ADMM+Riccati iterations/s",
                 "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
+                # run-to-run variability over the timing windows: the
+                # value is the MEDIAN window; deltas within the IQR are
+                # noise, not progress (RESULTS.md drift study)
+                "windows": reps,
+                "iqr_low": round(float(q1), 1),
+                "iqr_high": round(float(q3), 1),
+                "best_window": round(float(rates[-1]), 1),
                 **mfu,
                 # solution-quality certificates (subsample oracle = 64
                 # instances, f64 L-BFGS-B; gaps are relative cost excess

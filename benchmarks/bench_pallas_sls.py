@@ -1,5 +1,25 @@
-"""Fused Pallas robust SLS-ADMM kernel vs XLA GEMM path on TPU."""
+"""Certified fused-Pallas robust SLS-ADMM kernel vs the XLA GEMM path.
 
+Three paths on the chance-constrained control-bounds scenario fleet
+(the robust benchmark class, BASELINE config #4):
+
+- xla: `solvers/batched_sls.py` with the generic consensus-SOC inner
+  projection (the reference's construction);
+- pallas-consensus: the fused kernel with the inlined consensus loop;
+- pallas-diamond: the fused kernel with the EXACT closed-form row
+  projection onto {|du| + psi*sigma*|phi| <= bound} (the same row set
+  as the two-SOC intersection; `ops/pallas_sls.py::_diamond_project_slabs`)
+  and the packed (p1*tile x Nm)x(Nm x Nm) x-update GEMM — VERDICT r4 #3.
+
+All three run the CERTIFIED configuration (rho_u = 1.0, measured
+well-scaled — see bench_sls_fleet.py) and every path is gated on the f64
+QP oracle (scipy trust-constr, benchmarks/_oracles.py) + the exact
+diamond-projection primal residual. Readback-terminated windows.
+
+Prints one JSON line (the diamond path is the headline).
+"""
+
+import json
 import os
 
 # persistent compile cache (first tunnel compile is minutes; reruns are free)
@@ -9,14 +29,16 @@ os.environ.setdefault(
 )
 
 import sys
-import time
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from scipy.stats import norm
 
+from benchmarks._certify import gaps, run_oracle, timed_rate
+from benchmarks._oracles import _project_diamond
 from ilqr_admm_tpu.models.double_integrator import DoubleIntegrator
 from ilqr_admm_tpu.ops.pallas_sls import make_pallas_sls_admm
 from ilqr_admm_tpu.projections import project_set_convex, project_soc_unit
@@ -26,7 +48,7 @@ from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
 BASELINE_S = 0.207  # reference ADMM_SLS robust control bounds (BASELINE.md)
 
 
-def main(batch=1024, n_iters=50, n_cons=20, n_cons_pallas=5):
+def main(batch=1024, n_iters=200, n_cons=30, n_cons_pallas=5, oracle_n=8):
     N = 100
     plant = DoubleIntegrator(1, 2, dt=1.0 / N)
     d, m = plant.x_dim, plant.u_dim
@@ -39,73 +61,89 @@ def main(batch=1024, n_iters=50, n_cons=20, n_cons_pallas=5):
     A, B = A.astype(f32), B.astype(f32)
 
     psi_inv = float(norm.ppf(0.95))
+    sigma = 0.1
+    c_coef = psi_inv * sigma
     mu = np.array([1.0, 0.0])
     Au = np.diag(np.sqrt([0.0, 0.01]))
     A_hi = np.concatenate([Au, (-mu / psi_inv)[None]], 0)
     A_lo = np.concatenate([Au, (mu / psi_inv)[None]], 0)
     b_fixed = np.zeros(3)
     b_bound = np.array([0.0, 0.0, 1.0 / psi_inv])
-    cons_rho, rho_u = 10.0, 1e2
+    cons_rho, rho_u = 10.0, 1.0
 
     rng = np.random.default_rng(0)
-    # binding bounds so the chance constraints are active (see
-    # bench_sls_fleet.py note); [4, 8] made the projection a no-op
+    # binding bounds so the chance constraints are active
     bounds = jnp.asarray(rng.uniform(2.0, 4.0, batch), f32)
 
     # XLA path
     A_hi_j, A_lo_j = jnp.asarray(A_hi, f32), jnp.asarray(A_lo, f32)
+
     def soc_proj(y, bound):
         b = jnp.asarray(b_fixed, f32) + bound * jnp.asarray(b_bound, f32)
         return project_set_convex(y, [A_hi_j, A_lo_j], [b, b],
                                   [project_soc_unit] * 2, rho=cons_rho,
                                   max_iter=n_cons, threshold=0.0, stall_tol=0.0)
+
     solve_xla = make_batched_sls_admm(
         A, B, cost, project_u=lambda y, p: jax.vmap(soc_proj)(y, p),
         rho_u=rho_u, robust_dim=1, n_iters=n_iters)
 
-    # n_cons_iters=5: the cold-start consensus projection converges in a
-    # handful of iterations (z-init = A y + b is near-feasible once the
-    # outer loop settles) — measured 0.7% deviation from n_cons=20 with
-    # identical worst-case chance margin, at ~2x kernel speed
-    solve_pl = make_pallas_sls_admm(
+    solve_pc = make_pallas_sls_admm(
         A, B, cost, [A_hi, A_lo], [b_fixed, b_fixed], [b_bound, b_bound],
         rho_u=rho_u, robust_dim=1, n_iters=n_iters, n_cons_iters=n_cons_pallas,
         cons_rho=cons_rho, batch_tile=256)
 
+    solve_pd = make_pallas_sls_admm(
+        A, B, cost, (), (), (),
+        rho_u=rho_u, robust_dim=1, n_iters=n_iters, batch_tile=256,
+        z_update="diamond", diamond_w=(1.0, c_coef))
+
+    oracle_data = {
+        "A": np.asarray(A, np.float64), "B": np.asarray(B, np.float64),
+        "Q": np.asarray(cost.Q, np.float64), "R": np.asarray(cost.R, np.float64),
+        "xd": np.asarray(cost.lifted_xd(), np.float64),
+        "bounds": np.asarray(bounds[:oracle_n], np.float64), "c": c_coef,
+    }
+
     results = {}
-    for name, solve in [("xla", solve_xla), ("pallas", solve_pl)]:
+    for name, solve in [("xla", solve_xla), ("pallas_consensus", solve_pc),
+                        ("pallas_diamond", solve_pd)]:
         du, phi, U = solve(bounds)
         jax.block_until_ready(du)
-        # steady-state pipelined timing (amortizes the tunnel dispatch floor)
-        K = 5
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs = [solve(bounds)[0] for _ in range(K)]
-            jax.block_until_ready(outs)
-            best = min(best, (time.perf_counter() - t0) / K)
-        rate = batch / best
-        results[name] = (best, rate, du, U)
-        print(f"{name:7s}: {batch} syntheses in {best*1e3:.1f} ms -> {rate:,.0f}/s "
-              f"({rate * BASELINE_S:,.0f}x reference rate)")
+        U_np = np.asarray(U, np.float64)
+        prim = np.array([
+            np.linalg.norm(U_np[i] - _project_diamond(U_np[i], c_coef,
+                                                      float(bounds[i])))
+            for i in range(batch)
+        ])
+        orc = run_oracle("sls_qp", {**oracle_data, "U": U_np[:oracle_n]})
+        gap_med, gap_max = gaps(orc["j_z"], orc["j_star"])
+        rate, _ = timed_rate(lambda s=solve: s(bounds)[0], batch, K=5, reps=3)
+        results[name] = {
+            "rate": round(rate, 1),
+            "converged_frac": round(float(np.mean(prim < 5e-3)), 4),
+            "prim_max": float(f"{prim.max():.3g}"),
+            "cost_gap_median": float(f"{gap_med:.3g}"),
+            "cost_gap_max": float(f"{gap_max:.3g}"),
+        }
 
-    du_x, U_x = results["xla"][2], results["xla"][3]
-    du_p, U_p = results["pallas"][2], results["pallas"][3]
-    err = float(jnp.max(jnp.abs(du_x - du_p))) / (float(jnp.max(jnp.abs(du_x))) + 1e-12)
-    print(f"max rel deviation pallas vs xla: {err:.3e}")
-    margin = jnp.abs(du_p) + psi_inv * np.sqrt(0.01) * jnp.abs(U_p[:, :, 1])
-    worst = float(jnp.max(margin - bounds[:, None]))
-    active = float(jnp.mean(jnp.max(margin, 1) > bounds * 0.98)) * 100
-    print(f"worst chance margin: {worst:+.4f} (<=0 is feasible; active for {active:.0f}% of fleet)")
-    print(f"speedup pallas vs xla: {results['xla'][0]/results['pallas'][0]:.2f}x")
-    # MFU: useful work per synthesis = n_iters x the (p+1, Nm)@(Nm, Nm)
-    # x-update GEMM = n_iters * 2 * (p+1) * Nm^2 FLOPs (consensus SOC
-    # projections are VPU work, excluded); issued = 3 bf16 passes
-    from mfu import lane_pad, report
-    Nm = 100  # N * u_dim of this fixture
-    print("pallas  " + report(results["pallas"][1],
-                              n_iters * 2.0 * 2 * Nm * Nm,
-                              issued_factor=3.0, pad_factor=lane_pad(Nm)**2))
+    rd = results["pallas_diamond"]
+    out = {
+        "metric": "pallas_robust_sls_syntheses_per_s",
+        "value": rd["rate"],
+        "unit": f"robust SLS syntheses/s (N=100, {n_iters} iters, batch {batch}, "
+                "fused Pallas kernel, exact diamond z-update)",
+        "vs_baseline": round(rd["rate"] * BASELINE_S, 1),
+        "speedup_vs_xla": round(rd["rate"] / results["xla"]["rate"], 2),
+        "speedup_vs_consensus_kernel":
+            round(rd["rate"] / results["pallas_consensus"]["rate"], 2),
+        "paths": results,
+        "oracle": f"f64 trust-constr QP, {oracle_n} instances/path",
+    }
+    assert rd["converged_frac"] >= 0.99, rd
+    assert rd["cost_gap_median"] <= 1e-4, rd
+    assert rd["cost_gap_max"] <= 1e-3, rd
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

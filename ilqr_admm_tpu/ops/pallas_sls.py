@@ -68,6 +68,34 @@ def _soc_project_slabs(ws, t):
     return w_out, t_out
 
 
+def _diamond_project_slabs(a, b, w0, w1, r):
+    """Exact projection of rows (a, b) onto {w0|a| + w1|b| <= r}.
+
+    The weighted-l1 'diamond' — the chance-constrained control-bounds
+    row set |du| + psi*sigma*|phi| <= bound in closed form (p = 1).
+    Elementwise over (tile_b, Nm) slabs: the soft-threshold solution
+    v_k = sign(v_k) max(|v_k| - lam w_k, 0) with the 2D lambda resolved
+    branchlessly (both-active line projection, then the two
+    one-coordinate-clamped vertex branches). ~20 VPU ops — replaces the
+    generic n_cons_iters-deep consensus-ADMM inner loop entirely, and is
+    EXACT (the consensus inner loop is only ever approximately feasible).
+    """
+    aa = jnp.abs(a)
+    ab = jnp.abs(b)
+    s = w0 * aa + w1 * ab
+    inside = s <= r
+    lam = (s - r) / (w0 * w0 + w1 * w1)
+    xa = aa - lam * w0
+    xb = ab - lam * w1
+    # if one soft-thresholded coordinate would go negative, the KKT
+    # solution clamps it to 0 and the other to the diamond vertex
+    na = jnp.where(xb < 0.0, r / w0, jnp.where(xa < 0.0, 0.0, xa))
+    nb = jnp.where(xb < 0.0, 0.0, jnp.where(xa < 0.0, r / w1, xb))
+    a_out = jnp.where(inside, a, jnp.sign(a) * na)
+    b_out = jnp.where(inside, b, jnp.sign(b) * nb)
+    return a_out, b_out
+
+
 def _sls_admm_kernel(
     bound_ref,  # (tile_b, Nm) per-instance bound broadcast
     U_base_ref,  # (p1, tile_b, Nm) unconstrained x-update base
@@ -86,9 +114,12 @@ def _sls_admm_kernel(
     soc_b_bound,  # tuple of np (q,) vectors: b_i = fixed + bound * coeff
     l_inv_cons,  # np (p1, p1) prefactored consensus inverse
     mxu_dot,  # (a, b_hi, b_lo) -> a@b at the chosen device precision
+    z_update: str = "consensus",
+    diamond_w=None,  # (p1,) weights when z_update == "diamond"
 ):
     nsets = len(soc_A)
-    q = soc_A[0].shape[0]  # SOC dimension (q-1 "z" comps + 1 "t" comp)
+    # SOC dimension (q-1 "z" comps + 1 "t" comp); unused in diamond mode
+    q = soc_A[0].shape[0] if nsets else 0
     bound = bound_ref[:]
     U_base = [U_base_ref[k] for k in range(p1)]
 
@@ -179,13 +210,24 @@ def _sls_admm_kernel(
 
     def outer_body(_, carry):
         Z, L, U = carry
-        # x-update: U_k = U_base_k + (Z_k - L_k) @ W
+        # x-update: U_k = U_base_k + (Z_k - L_k) @ W. The p1 slab GEMMs
+        # are PACKED into one (p1*tile_b, Nm) x (Nm, Nm) MXU product
+        # (VERDICT r4 #3): one issue instead of p1, better systolic
+        # utilization at these small per-slab row counts.
+        tile_b = U_base[0].shape[0]
+        S = jnp.concatenate([Z[k] - L[k] for k in range(p1)], axis=0)
+        P = mxu_dot(S, W_hi_ref[:], W_lo_ref[:])
         U_new = tuple(
-            U_base[k] + mxu_dot(Z[k] - L[k], W_hi_ref[:], W_lo_ref[:])
-            for k in range(p1)
+            U_base[k] + P[k * tile_b:(k + 1) * tile_b] for k in range(p1)
         )
         ys = [alpha * U_new[k] + (1.0 - alpha) * Z[k] + L[k] for k in range(p1)]
-        Z_new = tuple(consensus_project(ys))
+        if z_update == "diamond":
+            a_out, b_out = _diamond_project_slabs(
+                ys[0], ys[1], float(diamond_w[0]), float(diamond_w[1]), bound
+            )
+            Z_new = (a_out, b_out)
+        else:
+            Z_new = tuple(consensus_project(ys))
         L_new = tuple(L[k] + U_new[k] - Z_new[k] for k in range(p1))
         return Z_new, L_new, U_new
 
@@ -249,8 +291,19 @@ def make_pallas_sls_admm(
     stop_tol: float = 0.0,
     check_every: int = 8,
     interpret: bool = False,
+    z_update: str = "consensus",
+    diamond_w=None,
 ):
     """Build a fused-Pallas batched robust SLS-ADMM solver.
+
+    z_update='diamond' (requires robust_dim == 1 and `diamond_w`, a pair
+    of weights) replaces the inner consensus-ADMM projection with the
+    EXACT closed-form projection of each row onto the weighted-l1 ball
+    {w0 |du_r| + w1 |phi_r| <= bound} — mathematically the same row set
+    as the two-SOC intersection of the chance-constrained control-bounds
+    construction, at ~20 VPU ops per iteration instead of a
+    n_cons_iters-deep inner loop, and exactly feasible (soc_A/soc_b are
+    ignored; pass empty tuples).
 
     stop_tol > 0 enables per-TILE early exit (residual checked every
     `check_every` iterations; see `ops/pallas_admm.py` for the measured
@@ -276,20 +329,32 @@ def make_pallas_sls_admm(
     A = A.astype(dtype)
     B = B.astype(dtype)
 
-    soc_A = tuple(np.asarray(a, np.float64) for a in soc_A)
-    soc_b_fixed = tuple(np.asarray(b, np.float64) for b in soc_b_fixed)
-    soc_b_bound = tuple(np.asarray(b, np.float64) for b in soc_b_bound)
-    if len({a.shape[0] for a in soc_A}) != 1:
-        # the kernel unrolls SOC rows with q = soc_A[0].shape[0]; ragged
-        # sets would have their extra rows silently dropped
-        raise ValueError(
-            "all soc_A constraint sets must have the same number of rows; "
-            f"got {[a.shape[0] for a in soc_A]} — zero-pad the smaller sets"
-        )
-    lc = np.eye(p1)
-    for a in soc_A:
-        lc = lc + cons_rho * (a.T @ a)
-    l_inv_cons = np.linalg.inv(lc)
+    if z_update not in ("consensus", "diamond"):
+        raise ValueError(f"unknown z_update {z_update!r}")
+    if z_update == "diamond":
+        if p1 != 2 or diamond_w is None or len(diamond_w) != 2:
+            raise ValueError(
+                "z_update='diamond' requires robust_dim == 1 and "
+                "diamond_w = (w_du, w_phi)"
+            )
+        diamond_w = np.asarray(diamond_w, np.float64)
+        soc_A, soc_b_fixed, soc_b_bound = (), (), ()
+        l_inv_cons = np.eye(p1)
+    else:
+        soc_A = tuple(np.asarray(a, np.float64) for a in soc_A)
+        soc_b_fixed = tuple(np.asarray(b, np.float64) for b in soc_b_fixed)
+        soc_b_bound = tuple(np.asarray(b, np.float64) for b in soc_b_bound)
+        if len({a.shape[0] for a in soc_A}) != 1:
+            # the kernel unrolls SOC rows with q = soc_A[0].shape[0]; ragged
+            # sets would have their extra rows silently dropped
+            raise ValueError(
+                "all soc_A constraint sets must have the same number of rows; "
+                f"got {[a.shape[0] for a in soc_A]} — zero-pad the smaller sets"
+            )
+        lc = np.eye(p1)
+        for a in soc_A:
+            lc = lc + cons_rho * (a.T @ a)
+        l_inv_cons = np.linalg.inv(lc)
 
     from ilqr_admm_tpu.solvers.lqt import lqt_solve_sls
 
@@ -337,6 +402,7 @@ def make_pallas_sls_admm(
         stop_tol=float(stop_tol), check_every=int(check_every),
         soc_A=soc_A, soc_b_fixed=soc_b_fixed, soc_b_bound=soc_b_bound,
         l_inv_cons=l_inv_cons, mxu_dot=mxu_dot,
+        z_update=z_update, diamond_w=diamond_w,
     )
 
     Nm, Nd = N * m, N * d

@@ -67,32 +67,39 @@ def make_batched_sls_admm(
     if not (has_x or has_u):
         raise ValueError("at least one projection required")
 
-    PHI_unc, _ = lqt_solve_sls(A, B, cost)
+    # One-time operator SETUP must run at HIGHEST precision too: at the
+    # TPU default (single-pass bf16) the built l_inv/SuTQ describe a
+    # PERTURBED problem — the ADMM then converges tightly to the wrong
+    # optimum (measured r5: ~5e-3 relative cost gap vs the f64 QP
+    # oracle, flat in iteration count; pinned, the gap closes to the
+    # CPU-f32 level). Same lesson as solvers/batched.py setup.
+    with jax.default_matmul_precision("highest"):
+        PHI_unc, _ = lqt_solve_sls(A, B, cost)
 
-    Su = build_Su(A, B)
-    # first p columns of Sw, built directly (O(N d^2 p) vs the
-    # dense (Nd)^2 operator)
-    Sx = build_Sx(A, p).reshape(-1, p)
+        Su = build_Su(A, B)
+        # first p columns of Sw, built directly (O(N d^2 p) vs the
+        # dense (Nd)^2 operator)
+        Sx = build_Sx(A, p).reshape(-1, p)
 
-    Qr = broadcast_rho(rho_x, d, N, dtype)
-    Rr = broadcast_rho(rho_u, m, N, dtype)
-    Qr_l = block_diag_stacked(Qr) if (Qr is not None and has_x) else None
-    Rr_l = block_diag_stacked(Rr) if (Rr is not None and has_u) else None
+        Qr = broadcast_rho(rho_x, d, N, dtype)
+        Rr = broadcast_rho(rho_u, m, N, dtype)
+        Qr_l = block_diag_stacked(Qr) if (Qr is not None and has_x) else None
+        Rr_l = block_diag_stacked(Rr) if (Rr is not None and has_u) else None
 
-    Qlift = block_diag_stacked(cost.Q)
-    SuTQ = Su.T @ Qlift
-    l_side = SuTQ @ Su + block_diag_stacked(cost.R)
-    r_fb = -SuTQ @ Sx
-    SuTQr = None
-    if Qr_l is not None:
-        SuTQr = Su.T @ Qr_l
-        l_side = l_side + SuTQr @ Su
-        r_fb = r_fb - SuTQr @ Sx
-    if Rr_l is not None:
-        l_side = l_side + Rr_l
-    l_inv = jnp.linalg.inv(l_side)
-    r_ff = SuTQ @ cost.lifted_xd()
-    r_base = jnp.concatenate([r_ff[:, None], r_fb], axis=-1)  # (Nm, p+1)
+        Qlift = block_diag_stacked(cost.Q)
+        SuTQ = Su.T @ Qlift
+        l_side = SuTQ @ Su + block_diag_stacked(cost.R)
+        r_fb = -SuTQ @ Sx
+        SuTQr = None
+        if Qr_l is not None:
+            SuTQr = Su.T @ Qr_l
+            l_side = l_side + SuTQr @ Su
+            r_fb = r_fb - SuTQr @ Sx
+        if Rr_l is not None:
+            l_side = l_side + Rr_l
+        l_inv = jnp.linalg.inv(l_side)
+        r_ff = SuTQ @ cost.lifted_xd()
+        r_base = jnp.concatenate([r_ff[:, None], r_fb], axis=-1)  # (Nm, p+1)
 
     l_invT = l_inv.T
     SuT = Su.T

@@ -127,3 +127,61 @@ def test_pallas_sls_early_exit_matches_full_schedule():
     scale = float(jnp.max(jnp.abs(du_f))) + 1e-12
     assert float(jnp.max(jnp.abs(du_f - du_e))) / scale < 1e-3
     assert float(jnp.max(jnp.abs(U_f - U_e))) / (float(jnp.max(jnp.abs(U_f))) + 1e-12) < 1e-3
+
+
+@pytest.mark.slow
+def test_pallas_sls_diamond_reaches_qp_optimum():
+    """z_update='diamond' (exact closed-form row projection): the kernel
+    must converge to the f64 QP optimum (scipy trust-constr oracle,
+    benchmarks/_oracles.py) and its projected iterate is exactly
+    feasible — stronger than the consensus mode, whose inner loop is
+    only approximately feasible. VERDICT r4 #3."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks._oracles import _project_diamond, sls_qp
+    from scipy.stats import norm
+
+    N = 20
+    A, B, cost, d, m = _setup(N)
+    psi_inv = float(norm.ppf(0.95))
+    c_coef = psi_inv * 0.1
+
+    solve = make_pallas_sls_admm(
+        A, B, cost, (), (), (),
+        rho_u=1.0, robust_dim=1, n_iters=400, batch_tile=4,
+        z_update="diamond", diamond_w=(1.0, c_coef), interpret=True,
+    )
+    rng = np.random.default_rng(0)
+    bounds = jnp.asarray(rng.uniform(2.0, 4.0, 8), jnp.float32)
+    du, phi, U = solve(bounds)
+    U_np = np.asarray(U, np.float64)
+
+    # iterate sits essentially on the feasible set
+    prim = np.array([
+        np.linalg.norm(U_np[i] - _project_diamond(U_np[i], c_coef,
+                                                  float(bounds[i])))
+        for i in range(8)
+    ])
+    assert prim.max() < 1e-3, prim
+
+    out = sls_qp({
+        "A": np.asarray(A, np.float64), "B": np.asarray(B, np.float64),
+        "Q": np.asarray(cost.Q, np.float64),
+        "R": np.asarray(cost.R, np.float64),
+        "xd": np.asarray(cost.lifted_xd(), np.float64),
+        "bounds": np.asarray(bounds, np.float64), "U": U_np, "c": c_coef,
+    })
+    gaps = (out["j_z"] - out["j_star"]) / np.abs(out["j_star"])
+    assert gaps.max() < 1e-4, gaps
+
+
+def test_pallas_sls_diamond_rejects_bad_config():
+    A, B, cost, d, m = _setup(8)
+    with pytest.raises(ValueError, match="diamond"):
+        make_pallas_sls_admm(A, B, cost, (), (), (), rho_u=1.0,
+                             robust_dim=1, n_iters=10, z_update="diamond")
+    with pytest.raises(ValueError, match="z_update"):
+        make_pallas_sls_admm(A, B, cost, (), (), (), rho_u=1.0,
+                             robust_dim=1, n_iters=10, z_update="nope")
