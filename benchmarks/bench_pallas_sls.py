@@ -48,7 +48,7 @@ from ilqr_admm_tpu.utils.cost_assembly import viapoint_cost
 BASELINE_S = 0.207  # reference ADMM_SLS robust control bounds (BASELINE.md)
 
 
-def main(batch=1024, n_iters=200, n_cons=30, n_cons_pallas=5, oracle_n=8):
+def main(batch=1024, n_iters=200, n_cons=30, n_cons_pallas=30, oracle_n=8):
     N = 100
     plant = DoubleIntegrator(1, 2, dt=1.0 / N)
     d, m = plant.x_dim, plant.u_dim
@@ -91,6 +91,10 @@ def main(batch=1024, n_iters=200, n_cons=30, n_cons_pallas=5, oracle_n=8):
     solve_pc = make_pallas_sls_admm(
         A, B, cost, [A_hi, A_lo], [b_fixed, b_fixed], [b_bound, b_bound],
         rho_u=rho_u, robust_dim=1, n_iters=n_iters, n_cons_iters=n_cons_pallas,
+        # n_cons_iters must MATCH the XLA path at rho_u=1.0: the r3
+        # n_cons=5 shortcut relied on the old rho=1e2 regime's tiny
+        # per-iteration z motion — at the certified rho it leaves the
+        # inner projection unconverged (measured converged_frac 0.31)
         cons_rho=cons_rho, batch_tile=256)
 
     solve_pd = make_pallas_sls_admm(
