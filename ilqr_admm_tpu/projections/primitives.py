@@ -183,6 +183,45 @@ def prox_l1_box(v, thresh, lower, upper):
     return jnp.clip(prox_l1(v, thresh), lower, upper)
 
 
+def project_weighted_l1(x, w, r):
+    """Exact projection onto the weighted-l1 ball {v : Σ w_i |v_i| <= r}.
+
+    Not in the reference. Closed form via the sorted-threshold algorithm
+    (weighted-simplex projection, Held-Wolfe-Crowder): lambda* solves
+    Σ_i w_i max(|x_i| - lambda w_i, 0) = r, piecewise-linear with
+    breakpoints |x_i|/w_i; the valid segment is selected branchlessly
+    over the descending sort. Batched over leading axes (projection acts
+    on the LAST axis). This is the row set of the chance-constrained
+    control-bounds construction, |du| + psi*sigma*|phi| <= bound (the
+    intersection of the two SOCs in `examples/` / SURVEY §3.3), so it
+    replaces an inner consensus-ADMM projection with an exact O(n log n)
+    one — the XLA twin of the fused kernel's diamond z-update
+    (`ops/pallas_admm.py::_diamond_project_slabs`).
+
+    w: positive weights, broadcastable to x's last axis. r: scalar or
+    batched radius (broadcastable to x's leading axes).
+    """
+    w = jnp.broadcast_to(jnp.asarray(w, x.dtype), x.shape)
+    r = jnp.asarray(r, x.dtype)[..., None]
+    a = jnp.abs(x)
+    z = a / w  # breakpoints
+    order = jnp.argsort(-z, axis=-1)
+    z_s = jnp.take_along_axis(z, order, axis=-1)
+    wa_s = jnp.take_along_axis(w * a, order, axis=-1)
+    w2_s = jnp.take_along_axis(w * w, order, axis=-1)
+    P_wa = jnp.cumsum(wa_s, axis=-1)
+    P_w2 = jnp.cumsum(w2_s, axis=-1)
+    lam_k = (P_wa - r) / P_w2
+    # the valid k is the largest with z_s[k] > lam_k (support of lambda*)
+    valid = z_s > lam_k
+    k_star = jnp.sum(valid.astype(jnp.int32), axis=-1, keepdims=True) - 1
+    lam = jnp.take_along_axis(lam_k, jnp.maximum(k_star, 0), axis=-1)
+    lam = jnp.maximum(lam, 0.0)
+    inside = jnp.sum(w * a, axis=-1, keepdims=True) <= r
+    out = jnp.sign(x) * jnp.maximum(a - lam * w, 0.0)
+    return jnp.where(inside, x, out)
+
+
 projections = {
     "SOC": project_soc_unit,
     "bound": project_bound,

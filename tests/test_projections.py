@@ -308,3 +308,72 @@ def test_project_set_convex_empty_raises():
         project_set_convex(jnp.zeros(3))
     with pytest.raises(ValueError, match="at least one"):
         project_set_convex_dykstra(jnp.zeros(3), projections=())
+
+
+def test_project_weighted_l1_properties():
+    """Exact diamond projection: feasibility, idempotency, fixed points,
+    and agreement with a brute-force f64 QP on random instances."""
+    import numpy as np
+    from scipy.optimize import LinearConstraint, minimize
+
+    from ilqr_admm_tpu.projections import project_weighted_l1
+
+    rng = np.random.default_rng(0)
+    n = 4
+    w = jnp.asarray(rng.uniform(0.2, 2.0, n))
+    r = 1.3
+    xs = jnp.asarray(rng.normal(0, 2.0, (64, n)))
+    out = project_weighted_l1(xs, w, r)
+    radii = jnp.sum(jnp.asarray(w) * jnp.abs(out), axis=-1)
+    assert float(jnp.max(radii)) <= r + 1e-9
+    # idempotent, and interior points are fixed
+    np.testing.assert_allclose(np.asarray(project_weighted_l1(out, w, r)),
+                               np.asarray(out), atol=1e-9)
+    inside = np.asarray(jnp.sum(jnp.asarray(w) * jnp.abs(xs), -1)) <= r
+    if inside.any():
+        np.testing.assert_array_equal(np.asarray(out)[inside],
+                                      np.asarray(xs)[inside])
+
+    # brute-force oracle: min ||v - x||^2 s.t. the 2^n sign-expanded
+    # linear constraints
+    signs = np.array(np.meshgrid(*([[-1, 1]] * n))).reshape(n, -1).T
+    A = signs * np.asarray(w)
+    for x in np.asarray(xs[:8], np.float64):
+        res = minimize(lambda v: np.sum((v - x) ** 2), x,
+                       jac=lambda v: 2 * (v - x), method="SLSQP",
+                       constraints=[LinearConstraint(A, -np.inf, r)])
+        ours = np.asarray(project_weighted_l1(jnp.asarray(x), w, r))
+        np.testing.assert_allclose(ours, res.x, atol=1e-6)
+
+
+def test_project_weighted_l1_matches_soc_intersection():
+    """The 2D diamond {|a| + c|b| <= r} IS the intersection of the two
+    chance-constraint SOCs (the examples' robust control-bound rows):
+    the exact projection must agree with the iterative consensus-ADMM
+    intersection projection to its tolerance."""
+    import numpy as np
+    from scipy.stats import norm
+
+    from ilqr_admm_tpu.projections import (
+        project_set_convex, project_soc_unit, project_weighted_l1,
+    )
+
+    psi = float(norm.ppf(0.95))
+    c = psi * 0.1
+    r = 2.0
+    mu = np.array([1.0, 0.0])
+    Au = np.diag([0.0, 0.1])
+    A_hi = jnp.asarray(np.concatenate([Au, (-mu / psi)[None]], 0))
+    A_lo = jnp.asarray(np.concatenate([Au, (mu / psi)[None]], 0))
+    b = jnp.asarray([0.0, 0.0, r / psi])
+
+    rng = np.random.default_rng(1)
+    for x in rng.normal(0, 3.0, (16, 2)):
+        y = jnp.asarray(x)
+        exact = project_weighted_l1(y, jnp.asarray([1.0, c]), r)
+        iterative = project_set_convex(
+            y, [A_hi, A_lo], [b, b], [project_soc_unit] * 2,
+            rho=3.0, max_iter=400, threshold=0.0,
+        )
+        np.testing.assert_allclose(np.asarray(exact), np.asarray(iterative),
+                                   atol=2e-4)
