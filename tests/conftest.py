@@ -77,6 +77,36 @@ _COLLECTIVE_TEST_MODULES = {
 import pytest as _pytest  # noqa: E402
 
 
+def pytest_xdist_auto_num_workers(config):
+    """Resolve `-n auto` (pytest.ini): 2 workers only on >=4-core hosts.
+
+    On a 2-core box a worker executing an 8-device collective program
+    hard-aborts (XLA:CPU rendezvous 40 s spin-wait) whenever the other
+    worker's XLA compile pegs both cores — reproduced 3x on the same
+    test in r5 full-suite runs, 0x serial or in isolation.
+    """
+    return 2 if (os.cpu_count() or 1) >= 4 else 1
+
+
+def pytest_collection_modifyitems(config, items):
+    """Serialize cross-device-collective tests onto ONE xdist worker.
+
+    XLA:CPU's collective rendezvous spin-waits for all participants; on
+    a low-core host two concurrently executing 8-device collective
+    programs (or one plus a heavy compile) can starve each other past
+    the 40 s rendezvous timeout, hard-aborting the worker ("Exiting to
+    ensure a consistent program state" — observed twice in r5 full-suite
+    runs after a shard_map test was added outside the collective
+    modules). With --dist loadgroup (pytest.ini) this mark routes every
+    collective test to the same worker so at most one multi-device
+    program executes at a time; ungrouped tests still load-balance.
+    """
+    for item in items:
+        mod = getattr(getattr(item, "module", None), "__name__", "")
+        if mod in _COLLECTIVE_TEST_MODULES or "shard_map" in item.name:
+            item.add_marker(_pytest.mark.xdist_group("collectives"))
+
+
 @_pytest.fixture(autouse=True)
 def _no_compile_cache_for_collective_tests(request):
     mod = getattr(request, "module", None)
