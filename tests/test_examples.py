@@ -121,6 +121,11 @@ GOLDENS = {
         ("float", r"pd-ilqr\s*:\s*cost ([\d.]+)", 0.530, 0.534),
         ("float", r"max defect ([\d.e+-]+),", 0.0, 1e-5),
     ],
+    "robust_fleet_diamond": [
+        ("float", r"worst chance margin \+?(-?[\d.]+)", -1.0, 1e-3),
+        ("float", r"bounds active for ([\d.]+)", 50.0, 100.0),
+        ("has", "OK"),
+    ],
     "robust_joint_calibration": [
         # joint MC success must meet the requested joint level
         ("float", r"joint MC success over 1000 rollouts: ([\d.]+)",

@@ -185,3 +185,28 @@ def test_pallas_sls_diamond_rejects_bad_config():
     with pytest.raises(ValueError, match="z_update"):
         make_pallas_sls_admm(A, B, cost, (), (), (), rho_u=1.0,
                              robust_dim=1, n_iters=10, z_update="nope")
+
+
+def test_pallas_sls_diamond_early_exit_matches_full():
+    """stop_tol > 0 with z_update='diamond': per-tile early exit must
+    return the same solutions as the fixed-iteration schedule (the
+    serving config: exact projection + early exit)."""
+    from scipy.stats import norm
+
+    N = 20
+    A, B, cost, d, m = _setup(N)
+    psi_inv = float(norm.ppf(0.95))
+    c_coef = psi_inv * 0.1
+    kw = dict(rho_u=1.0, robust_dim=1, n_iters=300, batch_tile=4,
+              z_update="diamond", diamond_w=(1.0, c_coef), interpret=True)
+    solve_full = make_pallas_sls_admm(A, B, cost, (), (), (), **kw)
+    solve_exit = make_pallas_sls_admm(A, B, cost, (), (), (),
+                                      stop_tol=1e-4, check_every=16, **kw)
+    rng = np.random.default_rng(2)
+    bounds = jnp.asarray(rng.uniform(2.0, 4.0, 8), jnp.float32)
+    du_f, phi_f, U_f = solve_full(bounds)
+    du_e, phi_e, U_e = solve_exit(bounds)
+    # an exited tile stops once its residual is < stop_tol; the frozen
+    # iterate can sit a few x stop_tol from the fully-iterated one
+    np.testing.assert_allclose(np.asarray(du_e), np.asarray(du_f), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(U_e), np.asarray(U_f), atol=2e-3)
