@@ -186,8 +186,9 @@ def main():
     # remote work finishes on the tunnel backend (measured: the two
     # methods agree here, 805 vs 810M it/s at K=100, but readback is the
     # defensible one). The readback channel is already warm — the
-    # certificate section above pulled arrays to host. Best-of windows
-    # guards against tunnel/device contention spikes.
+    # certificate section above pulled arrays to host. The reported
+    # value is the MEDIAN window (IQR alongside); best_window is carried
+    # for comparison with contention-spike-sensitive best-of metrics.
     # VERDICT r4 #5 (number hygiene): the reported value is the MEDIAN
     # over the windows, with the IQR carried alongside — single-run
     # best-of deltas (818 vs 824 vs 832M across rounds) are run-to-run
@@ -205,7 +206,6 @@ def main():
     rates = np.sort(BATCH * ADMM_ITERS / np.asarray(times))
     iters_per_s = float(np.median(rates))
     q1, q3 = np.percentile(rates, [25, 75])
-    dt = 1.0 / (iters_per_s / (BATCH * ADMM_ITERS))
 
     # --- MFU / FLOP accounting (VERDICT r2 #4) --------------------------
     # Useful math per ADMM iteration per instance: the (N*m)x(N*m)

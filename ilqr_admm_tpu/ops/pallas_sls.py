@@ -338,6 +338,14 @@ def make_pallas_sls_admm(
                 "diamond_w = (w_du, w_phi)"
             )
         diamond_w = np.asarray(diamond_w, np.float64)
+        if not np.all(diamond_w > 0.0):
+            # a zero weight makes r/w infinite in the vertex-clamp
+            # branch of the closed-form projection -> NaN iterates with
+            # no error (e.g. the sigma=0 no-uncertainty degenerate case:
+            # use plain box bounds / pallas_admm instead)
+            raise ValueError(
+                f"diamond_w must be strictly positive, got {tuple(diamond_w)}"
+            )
         soc_A, soc_b_fixed, soc_b_bound = (), (), ()
         l_inv_cons = np.eye(p1)
     else:

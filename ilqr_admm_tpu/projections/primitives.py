@@ -196,12 +196,21 @@ def project_weighted_l1(x, w, r):
     intersection of the two SOCs in `examples/` / SURVEY §3.3), so it
     replaces an inner consensus-ADMM projection with an exact O(n log n)
     one — the XLA twin of the fused kernel's diamond z-update
-    (`ops/pallas_admm.py::_diamond_project_slabs`).
+    (`ops/pallas_sls.py::_diamond_project_slabs`).
 
-    w: positive weights, broadcastable to x's last axis. r: scalar or
-    batched radius (broadcastable to x's leading axes).
+    w: positive weights, broadcastable to x's last axis (a zero weight
+    would make the set unbounded in that coordinate and the breakpoint
+    division meaningless — rejected). r: scalar or batched radius
+    (broadcastable to x's leading axes).
     """
-    w = jnp.broadcast_to(jnp.asarray(w, x.dtype), x.shape)
+    import numpy as _np
+
+    w_arr = jnp.asarray(w, x.dtype)
+    if isinstance(w, (list, tuple, _np.ndarray)) and not _np.all(
+        _np.asarray(w, _np.float64) > 0.0
+    ):
+        raise ValueError(f"weights must be strictly positive, got {w}")
+    w = jnp.broadcast_to(w_arr, x.shape)
     r = jnp.asarray(r, x.dtype)[..., None]
     a = jnp.abs(x)
     z = a / w  # breakpoints
@@ -218,8 +227,7 @@ def project_weighted_l1(x, w, r):
     lam = jnp.take_along_axis(lam_k, jnp.maximum(k_star, 0), axis=-1)
     lam = jnp.maximum(lam, 0.0)
     inside = jnp.sum(w * a, axis=-1, keepdims=True) <= r
-    out = jnp.sign(x) * jnp.maximum(a - lam * w, 0.0)
-    return jnp.where(inside, x, out)
+    return jnp.where(inside, x, prox_l1(x, lam * w))
 
 
 projections = {

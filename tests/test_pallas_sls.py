@@ -210,3 +210,11 @@ def test_pallas_sls_diamond_early_exit_matches_full():
     # iterate can sit a few x stop_tol from the fully-iterated one
     np.testing.assert_allclose(np.asarray(du_e), np.asarray(du_f), atol=5e-4)
     np.testing.assert_allclose(np.asarray(U_e), np.asarray(U_f), atol=2e-3)
+
+
+def test_diamond_rejects_nonpositive_weights():
+    A, B, cost, d, m = _setup(8)
+    with pytest.raises(ValueError, match="positive"):
+        make_pallas_sls_admm(A, B, cost, (), (), (), rho_u=1.0,
+                             robust_dim=1, n_iters=10,
+                             z_update="diamond", diamond_w=(1.0, 0.0))

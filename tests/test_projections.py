@@ -377,3 +377,12 @@ def test_project_weighted_l1_matches_soc_intersection():
         )
         np.testing.assert_allclose(np.asarray(exact), np.asarray(iterative),
                                    atol=2e-4)
+
+
+def test_project_weighted_l1_rejects_nonpositive_weights():
+    import numpy as np
+
+    from ilqr_admm_tpu.projections import project_weighted_l1
+
+    with np.testing.assert_raises(ValueError):
+        project_weighted_l1(jnp.asarray([1.0, 2.0]), [1.0, 0.0], 1.0)

@@ -40,10 +40,7 @@ def test_plot_car_patch_count_and_axis_binding():
     for p in patches:
         ax.add_patch(p)
     # the window is white and the two headlights are yellow
-    import matplotlib.colors as mcolors
-
-    face_colors = [mcolors.to_rgb(p.get_facecolor()[:3]) if not isinstance(
-        p.get_facecolor(), tuple) else p.get_facecolor()[:3] for p in patches]
+    face_colors = [p.get_facecolor()[:3] for p in patches]
     assert face_colors.count((1.0, 1.0, 1.0)) >= 1  # window
     assert face_colors.count((1.0, 1.0, 0.0)) == 2  # headlights
     plt.close(fig)
