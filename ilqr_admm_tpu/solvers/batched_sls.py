@@ -46,8 +46,17 @@ def make_batched_sls_admm(
     robust_dim: Optional[int] = None,
     n_iters: int = 100,
     alpha: float = 1.0,
+    tol: float = 0.0,
 ):
     """Build a jitted batched robust SLS-ADMM solver.
+
+    tol = 0 runs exactly n_iters (deterministic count, the benchmark
+    mode). tol > 0 adds per-instance early stopping (the SPMD analogue
+    of the reference's per-problem residual loop, mirroring
+    `solvers/batched.py::make_batched_lqt_admm`): an instance freezes
+    once its Frobenius primal residual ||x_iter - z|| AND dual residual
+    ||z - z_prev|| (summed over enabled blocks) drop below tol; the
+    while_loop exits when every instance is frozen or n_iters is hit.
 
     project_x / project_u map (batch, N*dim, p+1) arrays (plus a
     per-instance `params` pytree broadcast from the solver input) to the
@@ -123,23 +132,69 @@ def make_batched_sls_admm(
             X = X.at[:, :, 1:].add(Sx)
             return X, U
 
-        def body(carry, _):
-            z_x, z_u, l_x, l_u, X, U = carry
+        def iteration(z_x, z_u, l_x, l_u):
             X, U = x_update(z_x, z_u, l_x, l_u)
+            prim = jnp.zeros((batch,), dtype)
+            dual = jnp.zeros((batch,), dtype)
             if has_x:
                 z_rel = alpha * X + (1.0 - alpha) * z_x
                 z_new = project_x(z_rel + l_x, params)
                 l_x = l_x + X - z_new
+                prim = prim + jnp.linalg.norm(
+                    (X - z_new).reshape(batch, -1), axis=-1)
+                dual = dual + jnp.linalg.norm(
+                    (z_new - z_x).reshape(batch, -1), axis=-1)
                 z_x = z_new
             if has_u:
                 z_rel = alpha * U + (1.0 - alpha) * z_u
                 z_new = project_u(z_rel + l_u, params)
                 l_u = l_u + U - z_new
+                prim = prim + jnp.linalg.norm(
+                    (U - z_new).reshape(batch, -1), axis=-1)
+                dual = dual + jnp.linalg.norm(
+                    (z_new - z_u).reshape(batch, -1), axis=-1)
                 z_u = z_new
-            return (z_x, z_u, l_x, l_u, X, U), None
+            return z_x, z_u, l_x, l_u, X, U, prim, dual
 
         init = (z_x, z_u, l_x, l_u, z_x, z_u)
-        (z_x, z_u, l_x, l_u, X, U), _ = lax.scan(body, init, None, length=n_iters)
+
+        if tol <= 0.0:
+            def body(carry, _):
+                z_x, z_u, l_x, l_u, X, U = carry
+                z_x, z_u, l_x, l_u, X, U, _, _ = iteration(z_x, z_u, l_x, l_u)
+                return (z_x, z_u, l_x, l_u, X, U), None
+
+            (z_x, z_u, l_x, l_u, X, U), _ = lax.scan(
+                body, init, None, length=n_iters)
+        else:
+            # per-instance early stopping: frozen instances keep their
+            # iterates (select-masked carries), the loop exits when all
+            # instances are frozen or the cap is hit
+            done0 = jnp.zeros(batch, bool)
+
+            def cond(state):
+                it, done, *_ = state
+                return jnp.logical_and(
+                    it < n_iters, jnp.logical_not(jnp.all(done)))
+
+            def wbody(state):
+                it, done, z_x, z_u, l_x, l_u, X, U = state
+                nz_x, nz_u, nl_x, nl_u, nX, nU, prim, dual = iteration(
+                    z_x, z_u, l_x, l_u)
+                keep = done[:, None, None]
+                z_x = jnp.where(keep, z_x, nz_x)
+                z_u = jnp.where(keep, z_u, nz_u)
+                l_x = jnp.where(keep, l_x, nl_x)
+                l_u = jnp.where(keep, l_u, nl_u)
+                X = jnp.where(keep, X, nX)
+                U = jnp.where(keep, U, nU)
+                done = jnp.logical_or(
+                    done, jnp.logical_and(prim < tol, dual < tol))
+                return (it + 1, done, z_x, z_u, l_x, l_u, X, U)
+
+            state = (jnp.int32(0), done0) + init
+            _, _, z_x, z_u, l_x, l_u, X, U = lax.while_loop(
+                cond, wbody, state)
 
         du = U[:, :, 0]
         phi_u = jnp.concatenate(
