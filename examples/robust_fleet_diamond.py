@@ -13,7 +13,7 @@ share dynamics/cost but differ in the per-scenario bound is solved with
 through the same batched solver (`solvers/batched_sls.py`); both must
 agree, and the diamond path needs no inner projection loop at all. On
 TPU the fused Pallas kernel (`ops/pallas_sls.py`, z_update='diamond')
-runs this fleet at 97.2k syntheses/s certified (benchmarks/RESULTS.md).
+runs this fleet at ~103k syntheses/s certified (benchmarks/RESULTS.md).
 
 Run: python examples/robust_fleet_diamond.py
 """
