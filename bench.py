@@ -196,6 +196,13 @@ def main():
     # BENCH_REPS=12 is the drift-study setting (RESULTS.md).
     K = 100
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # one UNTIMED window first: the very first pipelined window after
+    # warmup runs ~5x slow (dispatch pipeline not yet saturated) and a
+    # median over few windows would carry that cold start (measured:
+    # 3-window median 775M with the cold window vs 813M without)
+    for _ in range(K):
+        u_last = solve(x0s)[1]
+    _ = float(u_last[0, 0])
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
