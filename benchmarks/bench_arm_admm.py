@@ -73,19 +73,22 @@ def main(batch=1024, method="batch", oracle_n=8):
     def proj_u(u):
         return jnp.clip(u, -U_BOUND, U_BOUND)
 
-    def solve_one(q0):
-        x0 = jnp.concatenate([q0, jnp.zeros(n, jnp.float32), arm.fk(q0)])
-        u0 = jnp.ones((N, m), jnp.float32)
-        x_nom0 = rollout_nonlinear(arm.step, x0, u0)
-        res = ilqr_admm(
-            arm.step, arm.get_AB, quad, x_nom0, u0,
-            quad_cost=quad, project_u=proj_u, rho_u=1e-2,
-            max_iter=12, max_admm_iter=20, alphas=alphas, tol=1e-4,
-            method=method,
-        )
-        return res.cost, res.u_nom, res.status, res.outer_iters
+    def make_solve(line_search):
+        def solve_one(q0):
+            x0 = jnp.concatenate([q0, jnp.zeros(n, jnp.float32), arm.fk(q0)])
+            u0 = jnp.ones((N, m), jnp.float32)
+            x_nom0 = rollout_nonlinear(arm.step, x0, u0)
+            res = ilqr_admm(
+                arm.step, arm.get_AB, quad, x_nom0, u0,
+                quad_cost=quad, project_u=proj_u, rho_u=1e-2,
+                max_iter=12, max_admm_iter=20, alphas=alphas, tol=1e-4,
+                method=method, line_search=line_search,
+            )
+            return res.cost, res.u_nom, res.status, res.outer_iters
 
-    solve = jax.jit(jax.vmap(solve_one))
+        return jax.jit(jax.vmap(solve_one))
+
+    solve = make_solve("inner")
 
     rng = np.random.default_rng(0)
     q0s = jnp.asarray(
@@ -137,6 +140,42 @@ def main(batch=1024, method="batch", oracle_n=8):
     assert max_viol <= 1e-2, f"bound violation {max_viol}"
     assert gap_med <= 1e-3, f"median cost gap {gap_med}"
     assert gap_max <= 1e-2, f"max cost gap {gap_max}"
+
+    # --- SQP serving mode (line_search='outer', method='batch' only):
+    # the inner ADMM iterates on the LINEARIZED trajectory with no
+    # rollouts and ONE nonlinear line search globalizes each outer step
+    # — measured r5: 3.2-3.5x the reference-semantics inner mode at a
+    # ~0.1% cost plateau above its fixed point (gap med ~1.1-1.5e-3 vs
+    # inner's 8.5e-4; flat in the inner budget), so it carries its own
+    # honest gates rather than the headline's.
+    if method == "batch":
+        solve_sqp = make_solve("outer")
+        costs2, us2, status2, _ = solve_sqp(q0s)
+        jax.block_until_ready(costs2)
+        conv2 = float(jnp.mean((status2 == SolveStatus.CONVERGED)
+                               .astype(jnp.float32)))
+        viol2 = float(jnp.max(jnp.abs(us2))) - U_BOUND
+        orc2 = run_oracle("arm_polish", {
+            "lengths": np.array([1.0, 1.0, 1.0]), "dt": 1.0 / N,
+            "zs": np.asarray(zs, np.float64),
+            "Qs": np.asarray(Qs, np.float64),
+            "seq": seq, "u_std": u_std, "u_lo": -U_BOUND, "u_hi": U_BOUND,
+            "q0s": np.asarray(q0s[:oracle_n], np.float64),
+            "us": np.asarray(us2[:oracle_n], np.float64),
+        })
+        g2_med, g2_max = gaps(orc2["j_ours"], orc2["j_star"])
+        rate2, _ = timed_rate(lambda: solve_sqp(q0s)[1], batch, K=5, reps=3)
+        out["sqp_outer_ls"] = {
+            "rate": round(rate2, 1),
+            "vs_baseline": round(rate2 / BASELINE_SOLVES_PER_S, 1),
+            "speedup_vs_inner": round(rate2 / rate, 2),
+            "converged_frac": round(conv2, 4),
+            "max_bound_violation": float(f"{max(viol2, 0.0):.3g}"),
+            "cost_gap_median": float(f"{g2_med:.3g}"),
+            "cost_gap_max": float(f"{g2_max:.3g}"),
+        }
+        assert conv2 >= 0.99 and viol2 <= 1e-2
+        assert g2_med <= 2e-3 and g2_max <= 6e-3, out["sqp_outer_ls"]
     print(json.dumps(out))
 
 
