@@ -78,16 +78,21 @@ def build(H=40):
             + jnp.einsum("ti,tij,tj->", us, quad.R, us)
         )
 
-    step = make_mpc_step_constrained(
-        car.step, car.get_AB, cost_fn, get_Cs=get_Cs,
-        project_u=lambda u: project_bound(u, -U_MAX, U_MAX),
-        rho_u=1.0, n_outer_iters=2, n_admm_iters=5,
-    )
-    return car, step, d, m
+    def mk(**kw):
+        return make_mpc_step_constrained(
+            car.step, car.get_AB, cost_fn, get_Cs=get_Cs,
+            project_u=lambda u: project_bound(u, -U_MAX, U_MAX),
+            rho_u=1.0, n_outer_iters=2, n_admm_iters=5, **kw,
+        )
+
+    # default reference-semantics dp tick + the SQP serving tick
+    # (rollout-free inner ADMM, one line search per outer step —
+    # measured r5: 4.7x at identical tracking error and exact bounds)
+    return car, mk(), mk(method="batch", line_search="outer"), d, m
 
 
 def main(H=40, n_ticks=100, fleet=256):
-    car, step, d, m = build(H)
+    car, step, step_sqp, d, m = build(H)
     x0 = jnp.asarray([0.0, 0.0, 0.5, 0.0], jnp.float32)
     state = mpc_constrained_init(car.step, x0, jnp.zeros((H, m), jnp.float32))
 
@@ -156,12 +161,55 @@ def main(H=40, n_ticks=100, fleet=256):
     t_fleet = best / n_ticks  # per fleet-tick
     u_max_fleet = float(jnp.max(jnp.abs(us_f)))
 
+    # --- 4. SQP serving tick (device-resident + fleet) ------------------
+    loop_sqp = jax.jit(
+        lambda st, x0: run_mpc(car.step, step_sqp, st, x0, n_ticks)
+    )
+    xs_q, us_q, _ = loop_sqp(state, x0)
+    jax.block_until_ready(us_q)
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        xs_q, us_q, _ = loop_sqp(state, x0)
+        _ = float(np.asarray(us_q[-1]).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    t_sqp = best / n_ticks
+    u_max_sqp = float(jnp.max(jnp.abs(us_q)))
+    final_sqp = np.asarray(xs_q[-1])
+    track_sqp = float(np.linalg.norm(final_sqp[:2] - np.asarray(TARGET)))
+
+    vstep_q = jax.vmap(step_sqp)
+
+    def fleet_loop_sqp(sts, xs0):
+        def scan_step(carry, _):
+            x, st = carry
+            u, st = vstep_q(st, x)
+            return (jax.vmap(car.step)(x, u), st), u
+
+        (_, sts), us = jax.lax.scan(scan_step, (xs0, sts), None, length=n_ticks)
+        return us
+
+    floop_q = jax.jit(fleet_loop_sqp)
+    us_fq = floop_q(states, x0s)
+    jax.block_until_ready(us_fq)
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        us_fq = floop_q(states, x0s)
+        _ = float(np.asarray(us_fq[-1]).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    t_fleet_sqp = best / n_ticks
+    u_max_fleet_sqp = float(jnp.max(jnp.abs(us_fq)))
+
     # --- certificates ---------------------------------------------------
     track_err = float(np.linalg.norm(final[:2] - np.asarray(TARGET)))
     assert u_max_host <= U_MAX + 1e-4, f"host path max|u| {u_max_host}"
     assert u_max_dev <= U_MAX + 1e-4, f"device path max|u| {u_max_dev}"
     assert u_max_fleet <= U_MAX + 1e-4, f"fleet path max|u| {u_max_fleet}"
     assert track_err <= 0.05, f"car missed the target by {track_err}"
+    assert u_max_sqp <= U_MAX + 1e-4, f"sqp path max|u| {u_max_sqp}"
+    assert u_max_fleet_sqp <= U_MAX + 1e-4
+    assert track_sqp <= 0.05, f"sqp tick missed the target by {track_sqp}"
 
     out = {
         "metric": "mpc_controller_ticks_per_s_fleet",
@@ -174,6 +222,13 @@ def main(H=40, n_ticks=100, fleet=256):
         "max_u_over_paths": round(max(u_max_host, u_max_dev, u_max_fleet), 4),
         "u_max_bound": U_MAX,
         "tracking_error": float(f"{track_err:.3g}"),
+        "sqp_tick": {
+            "device_resident_ms_per_tick": round(t_sqp * 1e3, 3),
+            "speedup_vs_dp_tick": round(t_dev / t_sqp, 2),
+            "fleet_controller_ticks_per_s": round(fleet / t_fleet_sqp, 1),
+            "max_u": round(max(u_max_sqp, u_max_fleet_sqp), 4),
+            "tracking_error": float(f"{track_sqp:.3g}"),
+        },
     }
     print(json.dumps(out))
 

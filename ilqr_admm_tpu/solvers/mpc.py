@@ -115,6 +115,7 @@ def make_mpc_step_constrained(
     n_admm_iters: int = 5,
     n_line_search: int = 10,
     method: str = "dp",
+    line_search: str = "inner",
 ):
     """Build a jitted *constrained* MPC step using bounded-iteration
     iLQR-ADMM with duals warm-started across ticks.
@@ -131,6 +132,12 @@ def make_mpc_step_constrained(
     3. return the first control and the new warm-start state.
 
     Returns step: (MPCConstrainedState, x_measured) -> (u_apply, state').
+
+    line_search='outer' (method='batch' only) runs the inner ADMM on the
+    linearized trajectory with NO rollouts and one nonlinear line search
+    per outer iteration — the SQP serving mode (see
+    `solvers/ilqr_admm.py`); cuts the per-tick rollout count from
+    n_outer*n_admm line-search batches to n_outer.
     """
     from ilqr_admm_tpu.solvers.ilqr_admm import ilqr_admm
 
@@ -162,7 +169,7 @@ def make_mpc_step_constrained(
             # run the full bounded budget every tick: convergence
             # tolerances effectively disabled
             tol=0.0, outer_tol=0.0, osc_tol=0.0,
-            method=method, warm=warm,
+            method=method, line_search=line_search, warm=warm,
         )
         new_state = MPCConstrainedState(
             x_nom=res.x_nom, u_nom=res.u_nom,

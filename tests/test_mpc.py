@@ -178,3 +178,50 @@ def test_boxddp_mpc_parallel_backward_matches_seq():
     us = np.asarray(us)
     assert np.abs(us).max() <= 3.0 + 1e-12
     assert abs(float(xs[-1, 0]) - 1.0) < 0.05, float(xs[-1, 0])
+
+
+def test_constrained_mpc_sqp_tick_tracks_like_default():
+    """line_search='outer' (SQP serving tick: rollout-free inner ADMM +
+    one line search per outer step) must track the target with exactly
+    feasible applied controls, like the default dp tick — measured 4.7x
+    faster on TPU at identical tracking error (bench_mpc.py)."""
+    from ilqr_admm_tpu.projections import project_bound
+    from ilqr_admm_tpu.solvers.mpc import (
+        make_mpc_step_constrained, mpc_constrained_init,
+    )
+
+    H = 30
+    car = CarSimple(dt=0.1)
+    d, m = 4, 2
+    target = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    zs = jnp.stack([target, target])
+    Qs = jnp.stack([jnp.diag(jnp.asarray([1.0, 1.0, 0.0, 0.1])),
+                    jnp.diag(jnp.asarray([20.0, 20.0, 0.0, 1.0]))])
+    seq = np.zeros(H, dtype=np.int32)
+    seq[-1] = 1
+    quad = viapoint_cost(zs, Qs, seq, 1e-2, m)
+
+    def get_Cs(xs, us):
+        return quad_cost_model(quad.Q, quad.xd, quad.R, xs, us)
+
+    u_max = 0.6
+    step = make_mpc_step_constrained(
+        car.step, car.get_AB, quad, get_Cs=get_Cs,
+        project_u=lambda u: project_bound(u, -u_max, u_max), rho_u=1.0,
+        n_outer_iters=2, n_admm_iters=5,
+        method="batch", line_search="outer",
+    )
+
+    x0 = jnp.asarray([0.0, 0.0, 0.5, 0.0])
+    state = mpc_constrained_init(car.step, x0, jnp.zeros((H, m)))
+    x = x0
+    us_applied = []
+    for _ in range(50):
+        u, state = step(state, x)
+        us_applied.append(np.asarray(u))
+        x = car.step(x, u)
+    us_applied = np.stack(us_applied)
+    assert np.abs(us_applied).max() <= u_max + 1e-3
+    assert np.abs(us_applied).max() > 0.9 * u_max  # constraint binds
+    final = np.asarray(x)
+    assert np.linalg.norm(final[:2] - np.array([1.0, 1.0])) < 0.05, final
